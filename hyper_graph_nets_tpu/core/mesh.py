@@ -1,0 +1,80 @@
+"""Host-side mesh topology utilities.
+
+Topology extraction runs on host (numpy) once per trajectory — the resulting
+int32 index arrays are static inputs to the jitted compute path.  Parity with
+reference src/util.py:50-89 (``triangles_to_edges`` incl. the quad-cell
+``deform=True`` variant), with one TPU-native addition: edges are returned
+sorted by receiver so downstream segment aggregations can use
+``indices_are_sorted=True`` and Pallas CSR kernels get contiguous per-node
+edge ranges.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class MeshEdges(NamedTuple):
+    senders: np.ndarray  # [E] int32, two-way (both directions)
+    receivers: np.ndarray  # [E] int32
+    unique_senders: np.ndarray  # [E/2] one-way (max endpoint)
+    unique_receivers: np.ndarray  # [E/2] (min endpoint)
+
+
+def cells_to_edges(cells: np.ndarray, deform: bool = False) -> MeshEdges:
+    """Derive unique bidirectional edges from triangle (or quad) cells.
+
+    Mirrors the reference behavior exactly: perimeter segments are collected,
+    canonicalized to (max, min), deduplicated, and both directions emitted
+    (reference src/util.py:50-89).  Output directed edges are additionally
+    sorted by (receiver, sender) for TPU-friendly segment aggregation; this
+    is a pure reordering and does not change any aggregate result.
+    """
+    cells = np.asarray(cells)
+    if cells.ndim != 2:
+        raise ValueError(f"cells must be [C, 3|4], got {cells.shape}")
+    if deform or cells.shape[1] == 4:
+        segs = np.concatenate(
+            [cells[:, 0:2], cells[:, 1:3], cells[:, 2:4], cells[:, [3, 0]]], axis=0
+        )
+    else:
+        segs = np.concatenate(
+            [cells[:, 0:2], cells[:, 1:3], cells[:, [2, 0]]], axis=0
+        )
+    lo = segs.min(axis=1)
+    hi = segs.max(axis=1)
+    packed = np.unique(np.stack([hi, lo], axis=1), axis=0)
+    uniq_snd = packed[:, 0].astype(np.int32)
+    uniq_rcv = packed[:, 1].astype(np.int32)
+
+    senders = np.concatenate([uniq_snd, uniq_rcv])
+    receivers = np.concatenate([uniq_rcv, uniq_snd])
+    order = np.lexsort((senders, receivers))
+    return MeshEdges(
+        senders=senders[order].astype(np.int32),
+        receivers=receivers[order].astype(np.int32),
+        unique_senders=uniq_snd,
+        unique_receivers=uniq_rcv,
+    )
+
+
+def pad_edges(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    target: int,
+    pad_index: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad edge index arrays to a static size; returns (snd, rcv, mask).
+
+    Padded entries point at ``pad_index`` (a valid row) so gathers stay in
+    bounds; the float mask zeroes their contribution in aggregations.
+    """
+    n = len(senders)
+    if n > target:
+        raise ValueError(f"edge count {n} exceeds static capacity {target}")
+    pad = target - n
+    snd = np.concatenate([senders, np.full(pad, pad_index, np.int32)]).astype(np.int32)
+    rcv = np.concatenate([receivers, np.full(pad, pad_index, np.int32)]).astype(np.int32)
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    return snd, rcv, mask

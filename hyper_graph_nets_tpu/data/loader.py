@@ -1,0 +1,104 @@
+"""Dataset loading facade (reference src/data/data_loader.py:24-47 parity).
+
+``get_data(config, split)`` returns an iterable of trajectory dicts for the
+configured dataset.  When the DeepMind TFRecord files are present under
+``data/<dataset>/input`` they are streamed; otherwise a synthetic dataset
+with the same schema is generated once, written through the TFRecord path
+(so the production IO format is always exercised), and streamed from disk.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from hyper_graph_nets_tpu.data import synthetic, tfrecord
+from hyper_graph_nets_tpu.data.preprocessing import Preprocessing, load_meta
+from hyper_graph_nets_tpu.utils.config import get_from_nested_dict
+
+REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+DATA_DIR = os.path.join(REPO_ROOT, "data")
+
+_SYNTH_DEFAULTS = {
+    "flag_minimal": dict(trajectories=2, num_steps=12, nx=8, ny=8),
+    "flag_simple": dict(trajectories=4, num_steps=40, nx=16, ny=16),
+    "cylinder_flow": dict(trajectories=4, num_steps=40, nx=12, ny=8),
+    "deforming_plate": dict(trajectories=4, num_steps=30, nx=7, ny=7),
+}
+
+
+def get_directories(dataset_name: str, data_dir: Optional[str] = None):
+    task_dir = os.path.join(data_dir or DATA_DIR, dataset_name)
+    return os.path.join(task_dir, "input"), os.path.join(task_dir, "output")
+
+
+def _ensure_synthetic(dataset: str, in_dir: str, overrides: dict) -> None:
+    """Generate + write synthetic train/valid/test TFRecords if absent."""
+    os.makedirs(in_dir, exist_ok=True)
+    kw = dict(_SYNTH_DEFAULTS[dataset])
+    kw.update({k: v for k, v in overrides.items() if v is not None})
+    num_traj = kw.pop("trajectories")
+    num_steps = kw.pop("num_steps")
+    for split, n in (("train", num_traj), ("valid", max(1, num_traj // 2)),
+                     ("test", max(1, num_traj // 2))):
+        path = os.path.join(in_dir, f"{split}.tfrecord")
+        if os.path.exists(path):
+            continue
+        seed_base = {"train": 0, "valid": 1000, "test": 2000}[split]
+        gen = synthetic.GENERATORS[dataset]
+        trajs = [gen(num_steps=num_steps, seed=seed_base + i, **kw) for i in range(n)]
+        tfrecord.write_trajectories(path, trajs)
+        meta_path = os.path.join(in_dir, "meta.json")
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as fp:
+                json.dump(synthetic.make_meta(dataset, trajs[0]), fp)
+
+
+def get_data(
+    config: dict,
+    split: str = "train",
+    add_targets: bool = True,
+    data_dir: Optional[str] = None,
+) -> "GraphDataLoader":
+    params = config.get("params", config)
+    dataset = get_from_nested_dict(params, ["task", "dataset"], raise_error=True)
+    if dataset not in _SYNTH_DEFAULTS:
+        raise NotImplementedError(f"unknown dataset {dataset!r}")
+    in_dir, _ = get_directories(dataset, data_dir)
+    if not os.path.exists(os.path.join(in_dir, f"{split}.tfrecord")):
+        overrides = get_from_nested_dict(
+            params, ["task", "synthetic"], default_return={}
+        ) or {}
+        _ensure_synthetic(dataset, in_dir, overrides)
+    pp = Preprocessing(
+        params["model"], split=split, in_dir=in_dir, add_targets_b=add_targets
+    )
+    return GraphDataLoader(pp)
+
+
+class GraphDataLoader:
+    """Thin iterable over preprocessed trajectories.
+
+    The reference's GraphDataLoader reseeds numpy each epoch for
+    deterministic noise (src/data/graphloader.py:14); here noise is
+    drawn from JAX PRNG keys in the trainer, so the loader is a plain
+    restartable iterable.
+    """
+
+    def __init__(self, source):
+        self._source = source
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return iter(self._source)
+
+    def take(self, n: int) -> List[Dict[str, np.ndarray]]:
+        out = []
+        for i, traj in enumerate(self):
+            if i >= n:
+                break
+            out.append(traj)
+        return out

@@ -1,0 +1,218 @@
+"""Dependency-free TFRecord + tf.train.Example reader/writer.
+
+The DeepMind MeshGraphNets datasets ship as TFRecord files of Example protos
+whose features are single-element bytes_lists holding raw array bytes
+(decoded per meta.json — reference src/data/preprocessing.py:41-64).  The
+reference uses the ``tfrecord`` pip package (reference
+src/data/data_loader.py:2); this module implements the framing (length +
+masked CRC32C) and the minimal protobuf subset natively so the data path has
+no TensorFlow dependency.
+
+Writer support exists so synthetic datasets round-trip through the exact
+on-disk format used in production.
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli), table-driven, with the TFRecord masking.
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = np.zeros(256, np.uint32)
+for _i in range(256):
+    _c = np.uint32(_i)
+    for _ in range(8):
+        _c = np.uint32(0x82F63B78) ^ (_c >> np.uint32(1)) if _c & np.uint32(1) else _c >> np.uint32(1)
+    _CRC_TABLE[_i] = _c
+
+
+def crc32c(data: bytes) -> int:
+    crc = np.uint32(0xFFFFFFFF)
+    arr = np.frombuffer(data, np.uint8)
+    table = _CRC_TABLE
+    for b in arr:
+        crc = table[(crc ^ b) & np.uint32(0xFF)] ^ (crc >> np.uint32(8))
+    return int(crc ^ np.uint32(0xFFFFFFFF))
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Minimal protobuf wire-format codec for tf.train.Example.
+#
+# Example          = { features: Features = 1 }
+# Features         = { feature: map<string, Feature> = 1 }
+# map entry        = { key: string = 1, value: Feature = 2 }
+# Feature          = { bytes_list: BytesList = 1, float_list = 2, int64_list = 3 }
+# BytesList        = { value: repeated bytes = 1 }
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _write_varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
+    """Yield (field_number, wire_type, payload) over a message buffer."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 0x7
+        if wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos : pos + ln]
+            pos += ln
+        elif wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+            yield field, wire, val
+        elif wire == 5:  # 32-bit
+            yield field, wire, buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:  # 64-bit
+            yield field, wire, buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def parse_example(buf: bytes) -> Dict[str, bytes]:
+    """Parse an Example proto into {feature name: first bytes_list element}."""
+    out: Dict[str, bytes] = {}
+    for field, _, features_buf in _iter_fields(buf):
+        if field != 1:
+            continue
+        for f2, _, entry in _iter_fields(features_buf):  # Features.feature map
+            if f2 != 1:
+                continue
+            key: Optional[str] = None
+            feature_buf: Optional[bytes] = None
+            for f3, _, payload in _iter_fields(entry):
+                if f3 == 1:
+                    key = payload.decode("utf-8")
+                elif f3 == 2:
+                    feature_buf = payload
+            if key is None or feature_buf is None:
+                continue
+            for f4, _, lst in _iter_fields(feature_buf):  # Feature.bytes_list
+                if f4 != 1:
+                    continue
+                for f5, _, raw in _iter_fields(lst):  # BytesList.value
+                    if f5 == 1:
+                        out[key] = raw
+                        break
+    return out
+
+
+def build_example(features: Dict[str, bytes]) -> bytes:
+    """Serialize {name: raw bytes} into an Example proto."""
+
+    def ld(field: int, payload: bytes) -> bytes:
+        return _write_varint((field << 3) | 2) + _write_varint(len(payload)) + payload
+
+    entries = b""
+    for key, raw in features.items():
+        bytes_list = ld(1, raw)
+        feature = ld(1, bytes_list)
+        entry = ld(1, key.encode("utf-8")) + ld(2, feature)
+        entries += ld(1, entry)
+    return ld(1, entries)
+
+
+# ---------------------------------------------------------------------------
+# TFRecord framing
+# ---------------------------------------------------------------------------
+
+
+def read_records(path: str) -> Iterator[bytes]:
+    """Iterate raw record payloads from a TFRecord file (CRC-checked)."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            (len_crc,) = struct.unpack("<I", header[8:])
+            if _masked_crc(header[:8]) != len_crc:
+                raise ValueError(f"corrupt TFRecord length CRC in {path}")
+            payload = f.read(length)
+            f.read(4)  # data crc (skipped for speed; length crc validated)
+            yield payload
+
+
+def write_records(path: str, payloads: Iterator[bytes]) -> None:
+    with open(path, "wb") as f:
+        for payload in payloads:
+            header = struct.pack("<Q", len(payload))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(payload)
+            f.write(struct.pack("<I", _masked_crc(payload)))
+
+
+def write_trajectories(path: str, trajectories: List[Dict[str, np.ndarray]]) -> None:
+    """Write trajectories (dict of arrays) as Example records of raw bytes."""
+
+    def payloads():
+        for traj in trajectories:
+            feats = {}
+            for key, val in traj.items():
+                arr = np.ascontiguousarray(val)
+                if key in ("cells", "mesh_pos", "node_type"):
+                    arr = arr[:1]  # static features stored once
+                feats[key] = arr.tobytes()
+            yield build_example(feats)
+
+    write_records(path, payloads())
+
+
+def read_trajectories(path: str, meta: dict) -> Iterator[Dict[str, np.ndarray]]:
+    """Decode Example records into trajectory dicts per a meta.json schema.
+
+    Static features are tiled over trajectory_length, matching reference
+    src/data/preprocessing.py:50-56.
+    """
+    features = meta["features"]
+    T = meta["trajectory_length"]
+    for payload in read_records(path):
+        raw = parse_example(payload)
+        traj = {}
+        for key, spec in features.items():
+            if key not in raw:
+                continue
+            arr = np.frombuffer(raw[key], dtype=np.dtype(spec["dtype"]))
+            arr = arr.reshape(spec["shape"])
+            if spec["type"] == "static":
+                arr = np.tile(arr, (T, 1, 1))
+            elif spec["type"] not in ("dynamic", "dynamic_varlen"):
+                raise ValueError(f"invalid feature type {spec['type']}")
+            traj[key] = arr
+        yield traj

@@ -1,0 +1,166 @@
+"""System-model base: shared state containers and the model protocol.
+
+Re-design of reference src/model/abstract_system_model.py:11-190.  A model is
+a *static-config* Python object whose methods are pure functions over an
+explicit :class:`ModelState` pytree (network params + normalizer states), so
+every method jit/vmap/scans cleanly.
+
+Topology (edge indices from cells) is extracted once per trajectory on host
+(:func:`build_topology`) and compiled into the step functions as static-shape
+int32 arrays — the TPU-native replacement for the reference's per-frame
+``triangles_to_edges`` calls (reference src/model/flag.py:76-78).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from hyper_graph_nets_tpu.core import normalizer as norm
+from hyper_graph_nets_tpu.core.graph import EdgeSet, Graph, NodeType
+from hyper_graph_nets_tpu.core.mesh import cells_to_edges
+from hyper_graph_nets_tpu.nn.blocks import GNNConfig
+from hyper_graph_nets_tpu.nn.meshgraphnet import network_apply, network_init
+
+Array = jax.Array
+
+
+@struct.dataclass
+class ModelState:
+    """All trainable/accumulated model state as one pytree."""
+
+    params: Any
+    normalizers: Dict[str, norm.NormalizerState]
+
+
+class Topology(NamedTuple):
+    """Static per-trajectory mesh topology (host-derived)."""
+
+    senders: np.ndarray  # [E] int32, sorted by receiver
+    receivers: np.ndarray  # [E] int32
+    num_nodes: int
+
+
+def one_hot_rows(codes: Array, num_classes: int) -> Array:
+    return jax.nn.one_hot(codes, num_classes, dtype=jnp.float32)
+
+
+def norm_feature(rel: Array) -> Array:
+    """[rel, ||rel||] feature block used by every edge featurizer."""
+    return jnp.concatenate(
+        [rel, jnp.sqrt(jnp.sum(rel * rel, axis=-1, keepdims=True))], axis=-1
+    )
+
+
+def reset_due(step: int, num_steps: int, frequency: int) -> bool:
+    """Cache-reset cadence (reference src/model/flag.py:130-141)."""
+    return step % math.ceil(num_steps / frequency) == 0
+
+
+class SystemModel:
+    """Base class holding static configuration shared by all datasets."""
+
+    model_type = "flag"
+    # subclasses define: output field name, normalizer schema, featurizers
+
+    def __init__(self, params: dict):
+        self.params = params
+        model = params["model"]
+        rmp_cfg = model.get("rmp", {})
+        bal_cfg = model.get("graph_balancer", {})
+        self.field = model["field"]
+        self.output_size = model["size"]
+        self.noise_scale = model.get("noise")
+        self.noise_gamma = model.get("gamma", 1.0)
+        self.message_passing_steps = model["message_passing_steps"]
+        self.aggregation = model.get("aggregation", "pna")
+        self.latent_size = model.get("latent_size", 128)
+        self.num_layers = model.get("num_layers", 2)
+        self.compute_dtype = model.get("compute_dtype")
+        self.history = bool(model.get("history", False))
+
+        self.use_rmp = (
+            rmp_cfg.get("clustering", "none") != "none"
+            and rmp_cfg.get("connector", "none") != "none"
+        )
+        self.architecture = rmp_cfg.get("connector", "none") if self.use_rmp else "none"
+        if not self.use_rmp and rmp_cfg.get("connector") == "repeated":
+            self.architecture = "repeated"
+        self.use_balancer = bal_cfg.get("algorithm", "none") != "none"
+        self.rmp_frequency = rmp_cfg.get("frequency", 1)
+        self.balance_frequency = bal_cfg.get("frequency", 1)
+        self.rmp_config = rmp_cfg
+        self.balancer_config = bal_cfg
+
+    # -- schema hooks (subclasses override) --------------------------------
+    def edge_in_dims(self) -> Tuple[Tuple[str, int], ...]:
+        raise NotImplementedError
+
+    def node_in_dim(self) -> int:
+        raise NotImplementedError
+
+    def hyper_in_dim(self) -> Optional[int]:
+        if not self.use_rmp:
+            return None
+        extra = 3 if self.rmp_config.get("hyper_node_features", True) else 0
+        return self.node_in_dim() + extra
+
+    def normalizer_schema(self) -> Dict[str, int]:
+        raise NotImplementedError
+
+    # -- construction ------------------------------------------------------
+    @property
+    def gnn_config(self) -> GNNConfig:
+        return GNNConfig(
+            output_size=self.output_size,
+            node_in_dim=self.node_in_dim(),
+            edge_in_dims=self.edge_in_dims(),
+            latent_size=self.latent_size,
+            num_layers=self.num_layers,
+            message_passing_steps=self.message_passing_steps,
+            aggregation=self.aggregation,
+            architecture=self.architecture,
+            hyper_in_dim=self.hyper_in_dim(),
+            compute_dtype=self.compute_dtype,
+        )
+
+    def init_state(self, key: Array) -> ModelState:
+        params = network_init(key, self.gnn_config)
+        normalizers = {
+            name: norm.init(size) for name, size in self.normalizer_schema().items()
+        }
+        return ModelState(params=params, normalizers=normalizers)
+
+    def build_topology(self, cells: np.ndarray, deform: bool = False) -> Topology:
+        edges = cells_to_edges(np.asarray(cells), deform=deform)
+        num_nodes = int(np.asarray(cells).max()) + 1
+        return Topology(
+            senders=edges.senders, receivers=edges.receivers, num_nodes=num_nodes
+        )
+
+    def forward(self, state: ModelState, graph: Graph) -> Array:
+        return network_apply(state.params, graph, self.gnn_config)
+
+    # -- shared helpers ----------------------------------------------------
+    def _normalize(
+        self,
+        state: ModelState,
+        name: str,
+        data: Array,
+        accumulate: bool,
+        mask: Optional[Array] = None,
+    ) -> Tuple[Array, ModelState]:
+        out, ns = norm.normalize(
+            state.normalizers[name], data, accumulate_stats=accumulate, mask=mask
+        )
+        normalizers = dict(state.normalizers)
+        normalizers[name] = ns
+        return out, state.replace(normalizers=normalizers)
+
+    def loss_mask(self, node_type: Array) -> Array:
+        """Rows contributing to the loss; subclasses override (flag: NORMAL)."""
+        return jnp.equal(node_type[..., 0], NodeType.NORMAL)
