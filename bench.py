@@ -1,0 +1,232 @@
+"""Benchmark: training throughput (edges/s/chip) at flag_simple scale.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+
+Setup mirrors BASELINE.json's north-star metric: MeshGraphNets with 15
+message-passing layers on a flag_simple-scale cloth mesh (40x40 grid ->
+1600 nodes, ~9.3k directed mesh edges), batch of frames per optimizer step
+as in configs/flag.yaml (batch 21).  ``edges/s`` counts directed mesh edges
+consumed per *training* step (forward + backward + optimizer):
+    edges/s = batch * num_edges * steps_per_second.
+
+``vs_baseline``: ratio against the PyTorch reference re-run on this host's
+CPU (the only hardware here that can run the reference stack — BASELINE.md
+notes the reference publishes no throughput numbers and its hardware is
+unspecified).  The torch baseline is an independent re-implementation of the
+reference's hot path (gather -> LazyMLP-equivalent -> scatter pna, reference
+src/migration/graphnet.py:22-70) with identical tensor shapes and layer
+counts; measured once and cached in .bench_cache.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+MP_STEPS = 15
+BATCH = 21
+GRID = 40  # 40x40 = 1600 nodes, flag_simple scale
+LATENT = 128
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
+
+
+def _jax_throughput() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from hyper_graph_nets_tpu.data import synthetic
+    from hyper_graph_nets_tpu.data.preprocessing import add_targets
+    from hyper_graph_nets_tpu.models.flag import FlagModel
+    from hyper_graph_nets_tpu.training.trainer import Trainer
+
+    params = {
+        "task": {"dataset": "flag_simple"},
+        "model": {
+            "field": "world_pos",
+            "history": True,
+            "size": 3,
+            "noise": 0.003,
+            "gamma": 0.9,
+            "aggregation": "pna",
+            "learning_rate": 1e-4,
+            "message_passing_steps": MP_STEPS,
+            "compute_dtype": "bfloat16",
+            "rmp": {"clustering": "none", "connector": "none"},
+            "graph_balancer": {"algorithm": "none"},
+        },
+    }
+    traj = add_targets(
+        synthetic.flag_trajectory(num_steps=BATCH + 3, nx=GRID, ny=GRID),
+        "world_pos",
+        history=True,
+    )
+    model = FlagModel(params)
+    topo = model.build_topology(traj["cells"][0])
+    trainer = Trainer(model, params)
+    tstate = trainer.init_train_state(jax.random.PRNGKey(0))
+    step = trainer.make_train_step(topo)
+    frames = {k: jnp.asarray(v[:BATCH]) for k, v in traj.items()}
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        tstate, loss = step(tstate, frames, k)
+    loss.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        tstate, loss = step(tstate, frames, k)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    num_edges = len(topo.senders)
+    return {
+        "steps_per_s": 1.0 / dt,
+        "num_edges": num_edges,
+        "edges_per_s": BATCH * num_edges / dt,
+        "device": str(jax.devices()[0]),
+        "final_loss": float(loss),
+    }
+
+
+def _torch_reference_throughput(num_edges_hint: int) -> float:
+    """Reference-equivalent PyTorch MGN train step on CPU (edges/s).
+
+    Independent implementation of the reference compute pattern:
+    per-MP-step unshared edge/node MLPs, index_select gather, scatter-based
+    pna aggregation, residuals, Adam — same shapes as the JAX benchmark.
+    """
+    import torch
+
+    torch.manual_seed(0)
+    n = GRID * GRID
+
+    from hyper_graph_nets_tpu.data import synthetic
+    from hyper_graph_nets_tpu.core.mesh import cells_to_edges
+
+    traj = synthetic.flag_trajectory(num_steps=3, nx=GRID, ny=GRID)
+    edges = cells_to_edges(traj["cells"][0])
+    snd = torch.from_numpy(edges.senders.astype(np.int64))
+    rcv = torch.from_numpy(edges.receivers.astype(np.int64))
+    E = len(edges.senders)
+
+    def mlp(in_dim, out_dim, ln=True):
+        layers = [
+            torch.nn.Linear(in_dim, LATENT),
+            torch.nn.ReLU(),
+            torch.nn.Linear(LATENT, LATENT),
+            torch.nn.ReLU(),
+            torch.nn.Linear(LATENT, out_dim),
+        ]
+        if ln:
+            layers.append(torch.nn.LayerNorm(out_dim))
+        return torch.nn.Sequential(*layers)
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.edge_mlp = mlp(3 * LATENT, LATENT)
+            self.node_mlp = mlp(5 * LATENT, LATENT)
+
+        def forward(self, nodes, edge_feats):
+            ef = torch.cat(
+                [nodes.index_select(0, snd), nodes.index_select(0, rcv), edge_feats],
+                dim=-1,
+            )
+            edge_feats = edge_feats + self.edge_mlp(ef)
+            aggs = []
+            zeros = torch.zeros(n, LATENT)
+            aggs.append(zeros.index_add(0, rcv, edge_feats))  # sum
+            cnt = torch.zeros(n, 1).index_add(0, rcv, torch.ones(E, 1))
+            aggs.append(aggs[0] / cnt.clamp(min=1))  # mean
+            big = torch.full((n, LATENT), -1e30)
+            aggs.append(big.index_reduce(0, rcv, edge_feats, "amax", include_self=True))
+            small = torch.full((n, LATENT), 1e30)
+            aggs.append(
+                small.index_reduce(0, rcv, edge_feats, "amin", include_self=True)
+            )
+            nodes = nodes + self.node_mlp(torch.cat([nodes] + aggs, dim=-1))
+            return nodes, edge_feats
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.node_enc = mlp(5, LATENT)
+            self.edge_enc = mlp(7, LATENT)
+            self.blocks = torch.nn.ModuleList([Block() for _ in range(MP_STEPS)])
+            self.dec = mlp(LATENT, 3, ln=False)
+
+        def forward(self, node_in, edge_in):
+            nodes = self.node_enc(node_in)
+            ef = self.edge_enc(edge_in)
+            for b in self.blocks:
+                nodes, ef = b(nodes, ef)
+            return self.dec(nodes)
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    node_in = torch.randn(BATCH * n, 5)
+    edge_in = torch.randn(BATCH * E, 7)
+    # block-diagonal batch exactly like the reference (MeshSimulator.py:158-234)
+    snd = torch.cat([snd + i * n for i in range(BATCH)])
+    rcv = torch.cat([rcv + i * n for i in range(BATCH)])
+    E, n_single = BATCH * E, n
+    n = BATCH * n
+    target = torch.randn(BATCH * n_single, 3)
+
+    def step():
+        opt.zero_grad()
+        out = net(node_in, edge_in)
+        loss = torch.nn.functional.mse_loss(out, target)
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = (time.perf_counter() - t0) / iters
+    return E / dt  # already batch-inclusive
+
+
+def main():
+    result = _jax_throughput()
+
+    baseline = None
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                baseline = json.load(f).get("torch_cpu_edges_per_s")
+        except Exception:
+            baseline = None
+    if not baseline:
+        try:
+            baseline = _torch_reference_throughput(result["num_edges"])
+            with open(CACHE, "w") as f:
+                json.dump({"torch_cpu_edges_per_s": baseline}, f)
+        except Exception:
+            baseline = None
+
+    out = {
+        "metric": "flag_simple MGN-15MP train edges/s/chip",
+        "value": round(result["edges_per_s"], 1),
+        "unit": "edges/s",
+        "vs_baseline": round(result["edges_per_s"] / baseline, 2) if baseline else None,
+        "steps_per_s": round(result["steps_per_s"], 3),
+        "batch": BATCH,
+        "num_edges": result["num_edges"],
+        "device": result["device"],
+        "baseline_torch_cpu_edges_per_s": round(baseline, 1) if baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

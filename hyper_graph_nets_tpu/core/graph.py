@@ -129,11 +129,15 @@ def graph_batch_axes(graph: Graph, include_topology: bool = False):
     trajectory share topology, so vmap over features alone is exactly
     equivalent and much faster.
     """
-    topo_axis = 0 if include_topology else None
-    edge_axes = {
-        name: EdgeSet(features=0, senders=topo_axis, receivers=topo_axis, mask=0)
-        for name in graph.edge_sets
-    }
+    edge_axes = {}
+    for name, es in graph.edge_sets.items():
+        # per-frame (dynamic) topology carries a batch dim on its index
+        # arrays (e.g. plate world edges); shared topology does not.
+        batched_topo = include_topology or es.senders.ndim >= 2
+        topo_axis = 0 if batched_topo else None
+        edge_axes[name] = EdgeSet(
+            features=0, senders=topo_axis, receivers=topo_axis, mask=0
+        )
     return Graph(
         node_features=0,
         edge_sets=edge_axes,

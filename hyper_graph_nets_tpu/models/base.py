@@ -38,11 +38,27 @@ class ModelState:
 
 
 class Topology(NamedTuple):
-    """Static per-trajectory mesh topology (host-derived)."""
+    """Static per-trajectory mesh topology (host-derived).
+
+    ``mask`` is None when every edge is valid; padded topologies (multi-chip
+    edge sharding, cross-trajectory bucketing) carry a float mask and pad
+    with ``receiver = num_nodes - 1`` so receiver-sortedness is preserved.
+    """
 
     senders: np.ndarray  # [E] int32, sorted by receiver
     receivers: np.ndarray  # [E] int32
     num_nodes: int
+    mask: Optional[np.ndarray] = None  # [E] float or None
+
+    def edge_mask(self):
+        return None if self.mask is None else jnp.asarray(self.mask)
+
+    def ones_mask(self, like: Array) -> Array:
+        """Edge mask broadcast to the (possibly batched) feature shape."""
+        shape = like.shape[:-1]
+        if self.mask is None:
+            return jnp.ones(shape, jnp.float32)
+        return jnp.broadcast_to(jnp.asarray(self.mask), shape)
 
 
 def one_hot_rows(codes: Array, num_classes: int) -> Array:

@@ -74,7 +74,11 @@ class FlagModel(SystemModel):
 
     # ------------------------------------------------------------------
     def frame_features(
-        self, senders: Array, receivers: Array, frame: Dict[str, Array]
+        self,
+        senders: Array,
+        receivers: Array,
+        frame: Dict[str, Array],
+        edge_mask: Optional[Array] = None,
     ) -> Dict[str, Array]:
         """Raw (unnormalized) per-frame features; pure, vmappable."""
         world_pos = frame["world_pos"]
@@ -97,10 +101,10 @@ class FlagModel(SystemModel):
 
         speed = jnp.sqrt(jnp.sum(rel_world * rel_world, axis=-1, keepdims=True))
         dyn_max = segment_ops.segment_max(
-            speed, receivers, num_nodes, indices_are_sorted=True
+            speed, receivers, num_nodes, mask=edge_mask, indices_are_sorted=True
         )
         dyn_min = segment_ops.segment_min(
-            speed, receivers, num_nodes, indices_are_sorted=True
+            speed, receivers, num_nodes, mask=edge_mask, indices_are_sorted=True
         )
         return {
             "node_features": node_features,
@@ -122,21 +126,30 @@ class FlagModel(SystemModel):
         """
         senders = jnp.asarray(topo.senders)
         receivers = jnp.asarray(topo.receivers)
-        feat_fn = functools.partial(self.frame_features, senders, receivers)
-        raw = jax.vmap(feat_fn)(frames) if batched else feat_fn(frames)
+        emask = topo.edge_mask()
+        feat_fn = functools.partial(
+            self.frame_features, senders, receivers, edge_mask=emask
+        )
+        raw = (
+            jax.vmap(lambda f: feat_fn(f))(frames) if batched else feat_fn(frames)
+        )
 
         node_feats, state = self._normalize(
             state, "node", raw["node_features"], accumulate=is_training
         )
+        batch_emask = topo.ones_mask(raw["mesh_edge_features"])
         edge_feats, state = self._normalize(
-            state, "mesh_edge", raw["mesh_edge_features"], accumulate=is_training
+            state,
+            "mesh_edge",
+            raw["mesh_edge_features"],
+            accumulate=is_training,
+            mask=None if emask is None else batch_emask,
         )
         # reference quirk: node_dynamic normalizer always accumulates (flag.py:116)
         node_dyn, state = self._normalize(
             state, "node_dynamic", raw["node_dynamic"], accumulate=True
         )
 
-        mask_shape = edge_feats.shape[:-1]
         graph = Graph(
             node_features=node_feats,
             edge_sets={
@@ -144,7 +157,7 @@ class FlagModel(SystemModel):
                     features=edge_feats,
                     senders=senders,
                     receivers=receivers,
-                    mask=jnp.ones(mask_shape, jnp.float32),
+                    mask=batch_emask,
                 )
             },
         )

@@ -1,0 +1,304 @@
+"""PlateModel: 3D solid mechanics with a kinematic obstacle (deforming_plate).
+
+Parity with reference src/model/plate.py:17-347:
+- quad cells -> mesh edges via the deform=True edge derivation  (plate.py:82-84)
+- world edges: radius-0.03 query over world positions, mesh-edge pairs
+  removed, senders restricted to OBSTACLE nodes and receivers to NORMAL
+  nodes  (plate.py:85-110); features [rel_world, |rel_world|] -> size 4
+- node-type compaction 3->2 before one-hot(3); node features =
+  one-hot(3) ++ obstacle velocity (target - cur at OBSTACLE nodes, zero
+  elsewhere)  (plate.py:75-79, 175-186)
+- output: velocity(3); update pos = cur + vel  (plate.py:244-254)
+- rollout overwrites non-NORMAL nodes with ground-truth target positions
+  (plate.py:328)
+
+TPU-native: the world-edge radius query runs *inside* jit as a masked dense
+distance matrix (N ~ 1.3k) + top_k extraction into a static-capacity padded
+edge set, so rollout stays a single lax.scan.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyper_graph_nets_tpu.core import normalizer as norm
+from hyper_graph_nets_tpu.core.graph import EdgeSet, Graph, NodeType
+from hyper_graph_nets_tpu.models.base import (
+    ModelState,
+    SystemModel,
+    Topology,
+    norm_feature,
+)
+
+Array = jax.Array
+
+WORLD_EDGE_RADIUS = 0.03
+
+
+class PlateModel(SystemModel):
+    model_type = "plate"
+    world_dim = 3
+    mesh_dim = 3
+
+    def __init__(self, params: dict):
+        super().__init__(params)
+        # reference: plate allows 'repeated' architecture without RMP (plate.py:39-40)
+        self.max_world_edges = params["model"].get("max_world_edges", 1024)
+
+    def node_in_dim(self) -> int:
+        return 3 + 3  # one-hot(3) ++ obstacle velocity
+
+    def edge_in_dims(self) -> Tuple[Tuple[str, int], ...]:
+        dims = [("mesh_edges", 8), ("world_edges", 4)]
+        if self.use_balancer:
+            dims.append(("balance", 8))
+        if self.use_rmp and self.architecture != "multi":
+            for name in (
+                "intra_cluster_to_cluster",
+                "intra_cluster_to_mesh",
+                "inter_cluster",
+            ):
+                dims.append((name, 8))
+        return tuple(dims)
+
+    def normalizer_schema(self) -> Dict[str, int]:
+        schema = {
+            "output": self.output_size,
+            "node": self.node_in_dim(),
+            "node_dynamic": 1,
+            "mesh_edge": 8,
+            "world_edge": 4,
+        }
+        if self.use_rmp:
+            schema["intra_edge"] = 8
+            schema["inter_edge"] = 8
+            schema["hyper_node"] = 3
+        return schema
+
+    def build_topology(self, cells: np.ndarray, deform: bool = True) -> Topology:
+        return super().build_topology(cells, deform=True)
+
+    # ------------------------------------------------------------------
+    def _world_edges(
+        self,
+        world_pos: Array,
+        node_type: Array,
+        senders: Array,
+        receivers: Array,
+    ) -> Tuple[Array, Array, Array]:
+        """Static-capacity world-edge extraction (jit-safe radius query)."""
+        n = world_pos.shape[0]
+        d2 = jnp.sum(
+            jnp.square(world_pos[:, None, :] - world_pos[None, :, :]), axis=-1
+        )
+        conn = d2 < WORLD_EDGE_RADIUS**2
+        conn = conn & ~jnp.eye(n, dtype=bool)
+        # drop pairs already connected by mesh edges
+        conn = conn.at[senders, receivers].set(False)
+        codes = node_type[:, 0]
+        obstacle = jnp.equal(codes, NodeType.OBSTACLE)
+        normal = jnp.equal(codes, NodeType.NORMAL)
+        conn = conn & obstacle[:, None] & normal[None, :]
+
+        flat = conn.reshape(-1).astype(jnp.float32)
+        k = min(self.max_world_edges, n * n)
+        vals, idx = jax.lax.top_k(flat, k)
+        mask = vals > 0
+        ws = jnp.where(mask, idx // n, 0)
+        wr = jnp.where(mask, idx % n, 0)
+        # sort by receiver (invalid entries pushed to the end)
+        key = jnp.where(mask, wr * n + ws, n * n)
+        order = jnp.argsort(key)
+        return ws[order], wr[order], mask[order].astype(jnp.float32)
+
+    def frame_features(
+        self, senders: Array, receivers: Array, frame: Dict[str, Array]
+    ) -> Dict[str, Array]:
+        world_pos = frame["world_pos"]
+        mesh_pos = frame["mesh_pos"]
+        target_pos = frame["target|world_pos"]
+        node_type = frame["node_type"]
+
+        codes = node_type[:, 0].astype(jnp.int32)
+        codes = jnp.where(codes == 3, 2, codes)
+        one_hot = jax.nn.one_hot(codes, 3, dtype=world_pos.dtype)
+        obstacle = jnp.equal(node_type[:, 0], NodeType.OBSTACLE)[:, None]
+        velocities = jnp.where(obstacle, target_pos - world_pos, 0.0)
+        node_features = jnp.concatenate([one_hot, velocities], axis=-1)
+
+        rel_world = jnp.take(world_pos, senders, 0) - jnp.take(world_pos, receivers, 0)
+        rel_mesh = jnp.take(mesh_pos, senders, 0) - jnp.take(mesh_pos, receivers, 0)
+        mesh_edge_features = jnp.concatenate(
+            [norm_feature(rel_world), norm_feature(rel_mesh)], axis=-1
+        )
+
+        ws, wr, wmask = self._world_edges(world_pos, node_type, senders, receivers)
+        w_rel = jnp.take(world_pos, ws, 0) - jnp.take(world_pos, wr, 0)
+        world_edge_features = norm_feature(w_rel) * wmask[:, None]
+
+        return {
+            "node_features": node_features,
+            "mesh_edge_features": mesh_edge_features,
+            "world_edge_features": world_edge_features,
+            "world_senders": ws,
+            "world_receivers": wr,
+            "world_mask": wmask,
+        }
+
+    def make_graph(
+        self,
+        state: ModelState,
+        topo: Topology,
+        frames: Dict[str, Array],
+        is_training: bool,
+        batched: bool = True,
+    ) -> Tuple[Graph, Dict[str, Array], ModelState]:
+        senders = jnp.asarray(topo.senders)
+        receivers = jnp.asarray(topo.receivers)
+        feat_fn = functools.partial(self.frame_features, senders, receivers)
+        raw = jax.vmap(feat_fn)(frames) if batched else feat_fn(frames)
+
+        node_feats, state = self._normalize(
+            state, "node", raw["node_features"], accumulate=is_training
+        )
+        batch_emask = topo.ones_mask(raw["mesh_edge_features"])
+        mesh_feats, state = self._normalize(
+            state,
+            "mesh_edge",
+            raw["mesh_edge_features"],
+            accumulate=is_training,
+            mask=None if topo.mask is None else batch_emask,
+        )
+        world_feats, state = self._normalize(
+            state,
+            "world_edge",
+            raw["world_edge_features"],
+            accumulate=is_training,
+            mask=raw["world_mask"],
+        )
+        world_feats = world_feats * raw["world_mask"][..., None]
+
+        graph = Graph(
+            node_features=node_feats,
+            edge_sets={
+                "mesh_edges": EdgeSet(
+                    features=mesh_feats,
+                    senders=senders,
+                    receivers=receivers,
+                    mask=batch_emask,
+                ),
+                "world_edges": EdgeSet(
+                    features=world_feats,
+                    senders=raw["world_senders"],
+                    receivers=raw["world_receivers"],
+                    mask=raw["world_mask"],
+                ),
+            },
+        )
+        aux = {"mesh_edge_features_raw": raw["mesh_edge_features"]}
+        return graph, aux, state
+
+    # ------------------------------------------------------------------
+    def get_target(
+        self, state: ModelState, frames: Dict[str, Array], is_training: bool = True
+    ) -> Tuple[Array, ModelState]:
+        target_velocity = frames["target|world_pos"] - frames["world_pos"]
+        return self._normalize(state, "output", target_velocity, accumulate=is_training)
+
+    def update(self, state: ModelState, frames: Dict[str, Array], net_out: Array) -> Array:
+        velocity = norm.inverse(state.normalizers["output"], net_out)
+        return frames["world_pos"] + velocity
+
+    def rollout(
+        self,
+        state: ModelState,
+        topo: Topology,
+        trajectory: Dict[str, np.ndarray],
+        num_steps: Optional[int] = None,
+        expansion=None,
+    ) -> Tuple[Dict[str, Array], Array]:
+        T = trajectory["cells"].shape[0]
+        num_steps = T if num_steps is None else min(num_steps, T)
+        init = {k: jnp.asarray(v[0]) for k, v in trajectory.items()}
+        node_type = init["node_type"]
+        mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+        static_frame = {"mesh_pos": init["mesh_pos"], "node_type": node_type}
+        targets = jnp.asarray(trajectory["target|world_pos"][:num_steps])
+
+        def step(cur_pos, target_pos):
+            frame = {
+                **static_frame,
+                "world_pos": cur_pos,
+                "target|world_pos": target_pos,
+            }
+            graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
+            if expansion is not None:
+                graph, _ = expansion.expand(
+                    state, graph, frame, self, is_training=False
+                )
+            prediction = self.update(state, frame, self.forward(state, graph))
+            # kinematic nodes follow the ground-truth target (plate.py:328)
+            next_pos = jnp.where(mask, prediction, target_pos)
+            return next_pos, next_pos
+
+        _, pred = jax.lax.scan(step, init["world_pos"], targets)
+
+        gt = jnp.asarray(trajectory["world_pos"][:num_steps])
+        mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
+        traj_ops = {
+            "faces": trajectory["cells"],
+            "mesh_pos": trajectory["mesh_pos"],
+            "mask": np.asarray(node_type[:, 0] == NodeType.OBSTACLE),
+            "gt_pos": trajectory["world_pos"],
+            "pred_pos": pred,
+        }
+        return traj_ops, mse
+
+    def n_step_computation(
+        self,
+        state: ModelState,
+        topo: Topology,
+        trajectory: Dict[str, np.ndarray],
+        n_step: int,
+        num_timesteps: Optional[int] = None,
+        expansion=None,
+    ) -> Tuple[Array, Array]:
+        T = trajectory["cells"].shape[0] if num_timesteps is None else num_timesteps
+        starts = np.arange(T - n_step)
+        init0 = {k: jnp.asarray(v[0]) for k, v in trajectory.items()}
+        node_type = init0["node_type"]
+        mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+        static_frame = {"mesh_pos": init0["mesh_pos"], "node_type": node_type}
+        cur0 = jnp.asarray(trajectory["world_pos"][starts])
+        tgt = jnp.stack(
+            [trajectory["target|world_pos"][s : s + n_step + 1] for s in starts]
+        )
+        gt = jnp.stack(
+            [trajectory["world_pos"][s : s + n_step + 1] for s in starts]
+        )
+
+        def one_window(cur_pos, targets, gt_win):
+            def step(cur, target_pos):
+                frame = {
+                    **static_frame,
+                    "world_pos": cur,
+                    "target|world_pos": target_pos,
+                }
+                graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
+                if expansion is not None:
+                    graph, _ = expansion.expand(
+                        state, graph, frame, self, is_training=False
+                    )
+                prediction = self.update(state, frame, self.forward(state, graph))
+                next_pos = jnp.where(mask, prediction, target_pos)
+                return next_pos, next_pos
+
+            _, pred = jax.lax.scan(step, cur_pos, targets)
+            return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
+
+        losses = jax.vmap(one_window)(cur0, jnp.asarray(tgt), jnp.asarray(gt))
+        return jnp.mean(losses), jnp.mean(losses[:, -1])

@@ -1,0 +1,187 @@
+"""Multi-chip distribution: data-parallel x edge-parallel graph sharding.
+
+The reference is strictly single-process/single-device (SURVEY.md §2
+parallelism table; no torch.distributed anywhere).  This module adds the
+TPU-native scaling path:
+
+- a 2-axis device mesh ``('data', 'graph')``: trajectories/frame-batches
+  shard over ``data``; each graph's *edge dimension* shards over ``graph``
+  (the mesh-graph analogue of sequence parallelism — SURVEY.md §5);
+- node features stay replicated across ``graph`` (nodes are ~5x fewer than
+  edges and the node MLP is cheap); segment aggregations over sharded edges
+  produce partial sums that XLA's SPMD partitioner completes with
+  all-reduces over ICI;
+- the whole train step is ONE jitted program with sharding annotations
+  (``NamedSharding`` inputs + ``with_sharding_constraint`` on edge
+  activations) — gradients and normalizer statistics come out correct by
+  construction because XLA partitions a single global program, rather than
+  hand-written psums.
+
+Collectives ride the ``graph`` mesh axis; place that axis on the
+ICI-connected dimension of the slice.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hyper_graph_nets_tpu.core.graph import EdgeSet, Graph
+from hyper_graph_nets_tpu.models.base import ModelState, SystemModel, Topology
+from hyper_graph_nets_tpu.training.trainer import TrainState, Trainer, add_noise
+
+Array = jax.Array
+
+
+def make_mesh(
+    data: int = 1, graph: int = 1, devices=None
+) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if data * graph > devices.size:
+        raise ValueError(
+            f"mesh {data}x{graph} needs {data * graph} devices, have {devices.size}"
+        )
+    devs = devices[: data * graph].reshape(data, graph)
+    return Mesh(devs, axis_names=("data", "graph"))
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, pad_value=0) -> np.ndarray:
+    n = arr.shape[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return arr
+    pad = np.full((target - n,) + arr.shape[1:], pad_value, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def shard_topology(topo: Topology, mesh: Mesh) -> Topology:
+    """Pad edges to a multiple of the graph axis and device_put sharded.
+
+    Padded edges use ``receiver = num_nodes - 1`` (preserving the
+    receiver-sorted invariant) with mask 0.
+    """
+    g = mesh.shape["graph"]
+    n_valid = len(topo.senders)
+    senders = pad_to_multiple(topo.senders, g, pad_value=0)
+    receivers = pad_to_multiple(topo.receivers, g, pad_value=topo.num_nodes - 1)
+    mask = np.zeros(len(senders), np.float32)
+    mask[:n_valid] = 1.0
+    sharding = NamedSharding(mesh, P("graph"))
+    return Topology(
+        senders=jax.device_put(senders, sharding),
+        receivers=jax.device_put(receivers, sharding),
+        num_nodes=topo.num_nodes,
+        mask=jax.device_put(jnp.asarray(mask), sharding),
+    )
+
+
+def constrain_graph(graph: Graph, mesh: Mesh) -> Graph:
+    """Force the intended layout: batch over 'data', edges over 'graph'."""
+    def c(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    batch = graph.node_features.ndim == 3
+    node_spec = P("data", None, None) if batch else P(None, None)
+    edge_feat_spec = P("data", "graph", None) if batch else P("graph", None)
+    edge_mask_spec = P("data", "graph") if batch else P("graph")
+
+    new_sets = {}
+    for name, es in graph.edge_sets.items():
+        idx_spec = P("graph") if es.senders.ndim == 1 else P("data", "graph")
+        new_sets[name] = EdgeSet(
+            features=c(es.features, edge_feat_spec),
+            senders=c(es.senders, idx_spec),
+            receivers=c(es.receivers, idx_spec),
+            mask=c(es.mask, edge_mask_spec),
+        )
+    hyper = graph.hyper_features
+    if hyper is not None:
+        hyper = c(hyper, node_spec)
+    return graph.replace(
+        node_features=c(graph.node_features, node_spec),
+        edge_sets=new_sets,
+        hyper_features=hyper,
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_frames(frames: Dict[str, Array], mesh: Mesh) -> Dict[str, Array]:
+    """Shard a [B, ...] frame batch over the 'data' axis (B % data == 0)."""
+    out = {}
+    for k, v in frames.items():
+        spec = P("data", *([None] * (np.ndim(v) - 1)))
+        out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
+    return out
+
+
+def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh):
+    """A fully sharded train step: DP over 'data', edge-parallel over 'graph'.
+
+    The step is the single-device train step with sharding constraints; XLA
+    SPMD inserts the ICI collectives (grad all-reduce over 'data' x 'graph',
+    aggregate partial-sum reduction over 'graph').  ``topo`` should come from
+    :func:`shard_topology`.
+    """
+    model = trainer.model
+
+    def loss_fn(params, normalizers, frames):
+        mstate = ModelState(params=params, normalizers=normalizers)
+        graph, aux, mstate = model.make_graph(mstate, topo, frames, True)
+        graph = constrain_graph(graph, mesh)
+        target, mstate = model.get_target(mstate, frames, is_training=True)
+        from hyper_graph_nets_tpu.training.trainer import batched_forward
+
+        out = batched_forward(model, params, graph)
+        mask = model.loss_mask(frames["node_type"]).astype(out.dtype)[..., None]
+        loss = jnp.sum(jnp.square(target - out) * mask) / (
+            jnp.sum(mask) * out.shape[-1]
+        )
+        return loss, mstate.normalizers
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(tstate: TrainState, frames: Dict[str, Array], key: Array):
+        if model.noise_scale is not None:
+            frames = add_noise(
+                frames, model.field, model.noise_scale, model.noise_gamma, key
+            )
+        (loss, normalizers), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            tstate.model.params, tstate.model.normalizers, frames
+        )
+        import optax
+
+        updates, opt_state = trainer.optimizer.update(
+            grads, tstate.opt_state, tstate.model.params
+        )
+        params = optax.apply_updates(tstate.model.params, updates)
+        return (
+            TrainState(
+                model=ModelState(params=params, normalizers=normalizers),
+                opt_state=opt_state,
+                step=tstate.step + 1,
+            ),
+            loss,
+        )
+
+    return train_step
+
+
+def make_sharded_forward(model: SystemModel, topo: Topology, mesh: Mesh):
+    """Edge-parallel inference forward (for scaling benchmarks and parity tests)."""
+
+    @jax.jit
+    def fwd(mstate: ModelState, frames: Dict[str, Array]) -> Array:
+        graph, _, _ = model.make_graph(mstate, topo, frames, False)
+        graph = constrain_graph(graph, mesh)
+        from hyper_graph_nets_tpu.training.trainer import batched_forward
+
+        return batched_forward(model, mstate.params, graph)
+
+    return fwd

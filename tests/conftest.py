@@ -15,3 +15,9 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
+# (must happen before any backend is initialized).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,222 @@
+"""Integration tests for the system models (flag / cylinder / plate)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyper_graph_nets_tpu.core.graph import NodeType
+from hyper_graph_nets_tpu.data import synthetic
+from hyper_graph_nets_tpu.data.preprocessing import add_targets
+from hyper_graph_nets_tpu.models.cylinder import CylinderModel
+from hyper_graph_nets_tpu.models.flag import FlagModel
+from hyper_graph_nets_tpu.models.plate import PlateModel
+from hyper_graph_nets_tpu.training.trainer import Trainer, frames_to_batches
+
+BASE_MODEL = {
+    "noise": 0.003,
+    "gamma": 0.9,
+    "aggregation": "pna",
+    "learning_rate": 1e-3,
+    "message_passing_steps": 2,
+    "rmp": {"clustering": "none", "connector": "none"},
+    "graph_balancer": {"algorithm": "none"},
+}
+
+
+def flag_setup(num_steps=14, nx=5, ny=5):
+    params = {
+        "task": {"dataset": "flag_minimal"},
+        "model": {
+            **BASE_MODEL,
+            "field": "world_pos",
+            "history": True,
+            "size": 3,
+        },
+    }
+    traj = add_targets(
+        synthetic.flag_trajectory(num_steps=num_steps, nx=nx, ny=ny),
+        "world_pos",
+        history=True,
+    )
+    model = FlagModel(params)
+    topo = model.build_topology(traj["cells"][0])
+    return params, traj, model, topo
+
+
+class TestFlagModel:
+    def test_training_reduces_loss(self):
+        params, traj, model, topo = flag_setup()
+        trainer = Trainer(model, params)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(topo)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(10):
+            for frames in frames_to_batches(traj, 6):
+                key, k = jax.random.split(key)
+                ts, loss = step(ts, frames, k)
+                losses.append(float(loss))
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.7
+
+    def test_batched_forward_matches_single_frame(self):
+        params, traj, model, topo = flag_setup()
+        state = model.init_state(jax.random.PRNGKey(0))
+        frames = {k: jnp.asarray(v[:3]) for k, v in traj.items()}
+        graph_b, _, _ = model.make_graph(state, topo, frames, False)
+        from hyper_graph_nets_tpu.training.trainer import batched_forward
+
+        out_b = batched_forward(model, state.params, graph_b)
+        for i in range(3):
+            frame = {k: v[i] for k, v in frames.items()}
+            graph, _, _ = model.make_graph(state, topo, frame, False, batched=False)
+            out = model.forward(state, graph)
+            np.testing.assert_allclose(
+                np.asarray(out_b[i]), np.asarray(out), rtol=2e-4, atol=2e-5
+            )
+
+    def test_integrator_second_order(self):
+        params, traj, model, topo = flag_setup()
+        state = model.init_state(jax.random.PRNGKey(0))
+        frames = {k: jnp.asarray(v[:2]) for k, v in traj.items()}
+        zero_out = jnp.zeros(frames["world_pos"].shape)
+        # zero *normalized* output de-normalizes to the running mean (0 at init)
+        pred = model.update(state, frames, zero_out)
+        want = 2 * frames["world_pos"] - frames["prev|world_pos"]
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(want), atol=1e-5)
+
+    def test_rollout_boundary_nodes_fixed(self):
+        params, traj, model, topo = flag_setup()
+        state = model.init_state(jax.random.PRNGKey(0))
+        ops, mse = model.rollout(state, topo, traj, num_steps=5)
+        pinned = np.asarray(traj["node_type"][0][:, 0]) != NodeType.NORMAL
+        pred = np.asarray(ops["pred_pos"])
+        for t in range(5):
+            np.testing.assert_allclose(
+                pred[t][pinned], np.asarray(traj["world_pos"][0])[pinned], atol=1e-6
+            )
+        assert mse.shape == (5,)
+
+    def test_normalizers_accumulate_only_in_training(self):
+        params, traj, model, topo = flag_setup()
+        state = model.init_state(jax.random.PRNGKey(0))
+        frames = {k: jnp.asarray(v[:2]) for k, v in traj.items()}
+        _, _, s_eval = model.make_graph(state, topo, frames, is_training=False)
+        assert float(s_eval.normalizers["node"].acc_count) == 0.0
+        # node_dynamic always accumulates (reference flag.py:116 quirk)
+        assert float(s_eval.normalizers["node_dynamic"].acc_count) > 0.0
+        _, _, s_train = model.make_graph(state, topo, frames, is_training=True)
+        assert float(s_train.normalizers["node"].acc_count) > 0.0
+
+
+class TestCylinderModel:
+    def setup_method(self):
+        self.params = {
+            "task": {"dataset": "cylinder_flow"},
+            "model": {
+                **BASE_MODEL,
+                "field": "velocity",
+                "history": False,
+                "size": 3,
+            },
+        }
+        self.traj = add_targets(
+            synthetic.cylinder_trajectory(num_steps=12, nx=7, ny=5),
+            "velocity",
+            history=False,
+        )
+        self.model = CylinderModel(self.params)
+        self.topo = self.model.build_topology(self.traj["cells"][0])
+
+    def test_node_type_compaction(self):
+        nt = jnp.array([[0], [4], [5], [6], [0]], jnp.int32)
+        codes = np.asarray(CylinderModel.compact_node_type(nt))
+        np.testing.assert_array_equal(codes, [0, 1, 2, 3, 0])
+
+    def test_update_splits_velocity_and_pressure(self):
+        state = self.model.init_state(jax.random.PRNGKey(0))
+        frames = {k: jnp.asarray(v[:2]) for k, v in self.traj.items()}
+        out = jnp.zeros((2, frames["velocity"].shape[1], 3))
+        vel, pressure = self.model.update(state, frames, out)
+        assert vel.shape[-1] == 2 and pressure.shape[-1] == 1
+        np.testing.assert_allclose(
+            np.asarray(vel), np.asarray(frames["velocity"]), atol=1e-6
+        )
+
+    def test_train_and_rollout(self):
+        trainer = Trainer(self.model, self.params)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(self.topo)
+        key = jax.random.PRNGKey(1)
+        for frames in frames_to_batches(self.traj, 5):
+            key, k = jax.random.split(key)
+            ts, loss = step(ts, frames, k)
+        assert np.isfinite(float(loss))
+        ops, mse = self.model.rollout(ts.model, self.topo, self.traj, num_steps=6)
+        assert ops["pred_pressure"].shape[0] == 6
+        assert np.isfinite(np.asarray(mse)).all()
+
+
+class TestPlateModel:
+    def setup_method(self):
+        self.params = {
+            "task": {"dataset": "deforming_plate"},
+            "model": {
+                **BASE_MODEL,
+                "field": "world_pos",
+                "history": False,
+                "size": 3,
+                "max_world_edges": 64,
+            },
+        }
+        self.traj = add_targets(
+            synthetic.plate_trajectory(num_steps=12, nx=5, ny=5),
+            "world_pos",
+            history=False,
+        )
+        self.model = PlateModel(self.params)
+        self.topo = self.model.build_topology(self.traj["cells"][0])
+
+    def test_world_edges_constraints(self):
+        frame = {k: jnp.asarray(v[0]) for k, v in self.traj.items()}
+        # force proximity: move one obstacle node near a normal node
+        wp = np.asarray(frame["world_pos"]).copy()
+        nt = np.asarray(frame["node_type"])
+        obs = np.where(nt[:, 0] == NodeType.OBSTACLE)[0]
+        nrm = np.where(nt[:, 0] == NodeType.NORMAL)[0]
+        wp[obs[0]] = wp[nrm[0]] + 0.01
+        ws, wr, wm = self.model._world_edges(
+            jnp.asarray(wp),
+            frame["node_type"],
+            jnp.asarray(self.topo.senders),
+            jnp.asarray(self.topo.receivers),
+        )
+        ws, wr, wm = np.asarray(ws), np.asarray(wr), np.asarray(wm)
+        valid = wm > 0
+        assert valid.sum() >= 1
+        # senders obstacle-only, receivers normal-only
+        assert set(nt[ws[valid], 0]) <= {int(NodeType.OBSTACLE)}
+        assert set(nt[wr[valid], 0]) <= {int(NodeType.NORMAL)}
+        # radius constraint
+        d = np.linalg.norm(wp[ws[valid]] - wp[wr[valid]], axis=1)
+        assert (d < 0.03).all()
+        # no duplicates of mesh edges
+        mesh_pairs = set(zip(self.topo.senders.tolist(), self.topo.receivers.tolist()))
+        assert not (set(zip(ws[valid].tolist(), wr[valid].tolist())) & mesh_pairs)
+        # sorted by receiver among valid entries
+        assert (np.diff(wr[valid]) >= 0).all()
+
+    def test_train_and_rollout(self):
+        trainer = Trainer(self.model, self.params)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(self.topo)
+        key = jax.random.PRNGKey(1)
+        for frames in frames_to_batches(self.traj, 5):
+            key, k = jax.random.split(key)
+            ts, loss = step(ts, frames, k)
+        assert np.isfinite(float(loss))
+        ops, mse = self.model.rollout(ts.model, self.topo, self.traj, num_steps=6)
+        # obstacle nodes track ground-truth targets during rollout
+        pred = np.asarray(ops["pred_pos"])
+        tgt = np.asarray(self.traj["target|world_pos"][:6])
+        obs = np.asarray(self.traj["node_type"][0][:, 0]) == NodeType.OBSTACLE
+        np.testing.assert_allclose(pred[:, obs], tgt[:, obs], atol=1e-6)
