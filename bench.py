@@ -71,18 +71,19 @@ def _jax_throughput() -> dict:
     frames = {k: jnp.asarray(v[:BATCH]) for k, v in traj.items()}
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile (value fetch forces a full device sync; plain
+    # block_until_ready can return early on the experimental axon platform)
     for _ in range(3):
         key, k = jax.random.split(key)
         tstate, loss = step(tstate, frames, k)
-    loss.block_until_ready()
+    float(loss)
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         key, k = jax.random.split(key)
         tstate, loss = step(tstate, frames, k)
-    loss.block_until_ready()
+    float(loss)
     dt = (time.perf_counter() - t0) / iters
 
     num_edges = len(topo.senders)
@@ -188,7 +189,7 @@ def _torch_reference_throughput(num_edges_hint: int) -> float:
         opt.step()
 
     step()  # warmup
-    iters = 3
+    iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
         step()

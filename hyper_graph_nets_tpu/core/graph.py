@@ -58,7 +58,12 @@ class EdgeSet:
     features: Array  # [..., E, F] float
     senders: Array  # [E] int32
     receivers: Array  # [E] int32
-    mask: Array  # [..., E] float (1 = valid)
+    mask: Optional[Array] = None  # [..., E] float (1 = valid); None = all valid
+    # Optional static [num_nodes_total, d_max] neighbor-edge matrix enabling
+    # gather-based aggregation (core.mesh.receivers_to_gather) — the fast
+    # path for static topology; scatter segment ops are the fallback.
+    gather_idx: Optional[Array] = None
+    gather_valid: Optional[Array] = None
 
     @property
     def num_edges(self) -> int:
@@ -135,8 +140,17 @@ def graph_batch_axes(graph: Graph, include_topology: bool = False):
         # arrays (e.g. plate world edges); shared topology does not.
         batched_topo = include_topology or es.senders.ndim >= 2
         topo_axis = 0 if batched_topo else None
+        if es.mask is None:
+            mask_axis = None
+        else:
+            mask_axis = 0 if es.mask.ndim >= 2 else topo_axis
         edge_axes[name] = EdgeSet(
-            features=0, senders=topo_axis, receivers=topo_axis, mask=0
+            features=0,
+            senders=topo_axis,
+            receivers=topo_axis,
+            mask=mask_axis,
+            gather_idx=None,
+            gather_valid=None,
         )
     return Graph(
         node_features=0,

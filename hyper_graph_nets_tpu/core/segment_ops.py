@@ -146,3 +146,44 @@ def aggregate(
     return unsorted_segment_operation(
         data, segment_ids, num_segments, aggregation, mask, indices_are_sorted
     )
+
+
+def gather_aggregate(
+    data: Array,
+    gather_idx: Array,
+    gather_valid: Array,
+    aggregation: str,
+) -> Array:
+    """Gather-based aggregation over a static [N, d_max] neighbor-edge matrix.
+
+    One gather pass feeds all pna reductions (sum, mean, max, min in
+    reference order) — the TPU-fast path for static topology; see
+    core.mesh.receivers_to_gather.  Exactly equivalent to the masked segment
+    ops (empty segments -> 0).
+    """
+    n, d = gather_idx.shape
+    g = jnp.take(data, gather_idx.reshape(-1), axis=-2)
+    g = g.reshape(data.shape[:-2] + (n, d, data.shape[-1]))
+    valid = gather_valid[..., None]
+    total = jnp.sum(g * valid, axis=-2)
+    if aggregation == "sum":
+        return total
+    deg = jnp.sum(gather_valid, axis=-1)[..., None]
+    safe_deg = jnp.maximum(deg, 1.0)
+    if aggregation == "mean":
+        return total / safe_deg
+    mx = jnp.max(jnp.where(valid > 0, g, _NEG_INF), axis=-2)
+    mx = jnp.where(mx <= _NEG_INF / 2, 0.0, mx)
+    if aggregation == "max":
+        return mx
+    mn = jnp.min(jnp.where(valid > 0, g, _POS_INF), axis=-2)
+    mn = jnp.where(mn >= _POS_INF / 2, 0.0, mn)
+    if aggregation == "min":
+        return mn
+    if aggregation == "pna":
+        return jnp.concatenate([total, total / safe_deg, mx, mn], axis=-1)
+    if aggregation == "std":
+        mean = total / safe_deg
+        sq = jnp.sum(g * g * valid, axis=-2) / safe_deg
+        return jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0))
+    raise ValueError(f"invalid aggregation {aggregation!r}")

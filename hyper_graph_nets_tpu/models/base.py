@@ -49,6 +49,8 @@ class Topology(NamedTuple):
     receivers: np.ndarray  # [E] int32
     num_nodes: int
     mask: Optional[np.ndarray] = None  # [E] float or None
+    gather_idx: Optional[np.ndarray] = None  # [N, d_max] int32 (fast aggregation)
+    gather_valid: Optional[np.ndarray] = None  # [N, d_max] float
 
     def edge_mask(self):
         return None if self.mask is None else jnp.asarray(self.mask)
@@ -151,11 +153,37 @@ class SystemModel:
         }
         return ModelState(params=params, normalizers=normalizers)
 
-    def build_topology(self, cells: np.ndarray, deform: bool = False) -> Topology:
+    def build_topology(
+        self,
+        cells: np.ndarray,
+        num_nodes: Optional[int] = None,
+        deform: bool = False,
+    ) -> Topology:
+        """Host: cells -> static topology.
+
+        Pass ``num_nodes`` explicitly when nodes may be absent from every
+        cell (plate obstacle nodes, reference plate.py:85-110 connects them
+        only via world edges); otherwise it is inferred from the cells.
+        """
+        from hyper_graph_nets_tpu.core.mesh import receivers_to_gather
+
         edges = cells_to_edges(np.asarray(cells), deform=deform)
-        num_nodes = int(np.asarray(cells).max()) + 1
+        if num_nodes is None:
+            num_nodes = int(np.asarray(cells).max()) + 1
+        gidx, gvalid = receivers_to_gather(edges.receivers, num_nodes)
         return Topology(
-            senders=edges.senders, receivers=edges.receivers, num_nodes=num_nodes
+            senders=edges.senders,
+            receivers=edges.receivers,
+            num_nodes=num_nodes,
+            gather_idx=gidx,
+            gather_valid=gvalid,
+        )
+
+    def topology_from_trajectory(self, trajectory: Dict[str, np.ndarray]) -> Topology:
+        """Topology for a trajectory dict (num_nodes from node_type)."""
+        return self.build_topology(
+            trajectory["cells"][0],
+            num_nodes=int(trajectory["node_type"].shape[1]),
         )
 
     def forward(self, state: ModelState, graph: Graph) -> Array:
@@ -180,3 +208,47 @@ class SystemModel:
     def loss_mask(self, node_type: Array) -> Array:
         """Rows contributing to the loss; subclasses override (flag: NORMAL)."""
         return jnp.equal(node_type[..., 0], NodeType.NORMAL)
+
+    # -- geometry / clustering hooks ---------------------------------------
+    def geometry(self, frames) -> Tuple[Array, Array]:
+        """(target_feature, mesh_features) — the world/mesh coordinate
+        streams (reference MultiGraphWithPos fields, src/util.py:14-16)."""
+        raise NotImplementedError
+
+    def obstacle_mask_np(self, frame: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
+        """Nodes excluded from clustering (plate obstacles); None otherwise."""
+        return None
+
+    def host_graph(self, frame: Dict[str, np.ndarray], topo: Topology):
+        """Numpy snapshot of one frame for host-side clustering."""
+        from hyper_graph_nets_tpu.rmp.clustering import HostGraph
+
+        target, mesh = self.geometry({k: np.asarray(v) for k, v in frame.items()})
+        target = np.asarray(target)
+        mesh = np.asarray(mesh)
+        snd, rcv = topo.senders, topo.receivers
+        rel_t = target[snd] - target[rcv]
+        rel_m = mesh[snd] - mesh[rcv]
+        tn = np.linalg.norm(rel_t, axis=-1, keepdims=True)
+        ef = np.concatenate(
+            [rel_t, tn, rel_m, np.linalg.norm(rel_m, axis=-1, keepdims=True)],
+            axis=-1,
+        )
+        # raw max-min incident relative-world norm (monotone in the
+        # normalized node_dynamic the reference sorts by, flag.py:101-116)
+        dyn_max = np.full(topo.num_nodes, -np.inf)
+        dyn_min = np.full(topo.num_nodes, np.inf)
+        np.maximum.at(dyn_max, rcv, tn[:, 0])
+        np.minimum.at(dyn_min, rcv, tn[:, 0])
+        dyn = np.where(np.isfinite(dyn_max) & np.isfinite(dyn_min),
+                       dyn_max - dyn_min, 0.0)
+        return HostGraph(
+            target_feature=target,
+            mesh_features=mesh,
+            senders=snd,
+            receivers=rcv,
+            edge_features=ef,
+            node_dynamic=dyn,
+            obstacle_mask=self.obstacle_mask_np(frame),
+            world_dim=target.shape[-1],
+        )

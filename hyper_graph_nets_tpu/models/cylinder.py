@@ -36,10 +36,19 @@ class CylinderModel(SystemModel):
     world_dim = 2  # velocity field
     mesh_dim = 2
 
+    def geometry(self, frames):
+        return frames["velocity"], frames["mesh_pos"]
+
     def node_in_dim(self) -> int:
         return 2 + 4  # velocity ++ compacted one-hot
 
     def edge_in_dims(self) -> Tuple[Tuple[str, int], ...]:
+        if self.architecture == "multi":
+            raise NotImplementedError(
+                "multigraph connector needs matching mesh/remote edge dims; "
+                "cylinder mesh edges are 3-dim vs 7-dim remote features "
+                "(unsupported in the reference as well)"
+            )
         dims = [("mesh_edges", self.mesh_dim + 1)]
         if self.use_balancer:
             dims.append(("balance", self.mesh_dim + 1))
@@ -107,14 +116,18 @@ class CylinderModel(SystemModel):
         node_feats, state = self._normalize(
             state, "node", raw["node_features"], accumulate=is_training
         )
-        batch_emask = topo.ones_mask(raw["mesh_edge_features"])
+        batch_emask = (
+            None if topo.mask is None else topo.ones_mask(raw["mesh_edge_features"])
+        )
         edge_feats, state = self._normalize(
             state,
             "mesh_edge",
             raw["mesh_edge_features"],
             accumulate=is_training,
-            mask=None if topo.mask is None else batch_emask,
+            mask=batch_emask,
         )
+        gi = None if topo.gather_idx is None else jnp.asarray(topo.gather_idx)
+        gv = None if topo.gather_valid is None else jnp.asarray(topo.gather_valid)
         graph = Graph(
             node_features=node_feats,
             edge_sets={
@@ -123,6 +136,8 @@ class CylinderModel(SystemModel):
                     senders=senders,
                     receivers=receivers,
                     mask=batch_emask,
+                    gather_idx=gi,
+                    gather_valid=gv,
                 )
             },
         )

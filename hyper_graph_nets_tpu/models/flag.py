@@ -35,20 +35,31 @@ from hyper_graph_nets_tpu.models.base import (
 Array = jax.Array
 
 
+def _opt_arr(x):
+    return None if x is None else jnp.asarray(x)
+
+
 class FlagModel(SystemModel):
     model_type = "flag"
     world_dim = 3
     mesh_dim = 2
 
+    def geometry(self, frames):
+        return frames["world_pos"], frames["mesh_pos"]
+
     def node_in_dim(self) -> int:
-        return self.world_dim + 2  # velocity ++ one-hot(2)
+        base = self.world_dim + 2  # velocity ++ one-hot(2)
+        return base + 2 if self.architecture == "multi" else base
 
     def edge_in_dims(self) -> Tuple[Tuple[str, int], ...]:
         mesh_edge_dim = self.world_dim + 1 + self.mesh_dim + 1
+        if self.architecture == "multi":
+            # remote edge sets folded into mesh_edges with 4 one-hot tags
+            return (("mesh_edges", mesh_edge_dim + 4),)
         dims = [("mesh_edges", mesh_edge_dim)]
         if self.use_balancer:
             dims.append(("balance", mesh_edge_dim))
-        if self.use_rmp and self.architecture != "multi":
+        if self.use_rmp:
             # connector edge features: world(3)+norm ++ mesh(2)+norm = 7
             for name in (
                 "intra_cluster_to_cluster",
@@ -62,7 +73,7 @@ class FlagModel(SystemModel):
         mesh_edge_dim = self.world_dim + 1 + self.mesh_dim + 1
         schema = {
             "output": self.output_size,
-            "node": self.node_in_dim(),
+            "node": self.world_dim + 2,  # raw dim (multi tier tags added later)
             "node_dynamic": 1,
             "mesh_edge": mesh_edge_dim,
         }
@@ -79,6 +90,8 @@ class FlagModel(SystemModel):
         receivers: Array,
         frame: Dict[str, Array],
         edge_mask: Optional[Array] = None,
+        gather_idx: Optional[Array] = None,
+        gather_valid: Optional[Array] = None,
     ) -> Dict[str, Array]:
         """Raw (unnormalized) per-frame features; pure, vmappable."""
         world_pos = frame["world_pos"]
@@ -100,12 +113,20 @@ class FlagModel(SystemModel):
         )
 
         speed = jnp.sqrt(jnp.sum(rel_world * rel_world, axis=-1, keepdims=True))
-        dyn_max = segment_ops.segment_max(
-            speed, receivers, num_nodes, mask=edge_mask, indices_are_sorted=True
-        )
-        dyn_min = segment_ops.segment_min(
-            speed, receivers, num_nodes, mask=edge_mask, indices_are_sorted=True
-        )
+        if gather_idx is not None:
+            dyn_max = segment_ops.gather_aggregate(
+                speed, gather_idx, gather_valid, "max"
+            )
+            dyn_min = segment_ops.gather_aggregate(
+                speed, gather_idx, gather_valid, "min"
+            )
+        else:
+            dyn_max = segment_ops.segment_max(
+                speed, receivers, num_nodes, mask=edge_mask
+            )
+            dyn_min = segment_ops.segment_min(
+                speed, receivers, num_nodes, mask=edge_mask
+            )
         return {
             "node_features": node_features,
             "mesh_edge_features": edge_features,
@@ -128,7 +149,12 @@ class FlagModel(SystemModel):
         receivers = jnp.asarray(topo.receivers)
         emask = topo.edge_mask()
         feat_fn = functools.partial(
-            self.frame_features, senders, receivers, edge_mask=emask
+            self.frame_features,
+            senders,
+            receivers,
+            edge_mask=emask,
+            gather_idx=_opt_arr(topo.gather_idx),
+            gather_valid=_opt_arr(topo.gather_valid),
         )
         raw = (
             jax.vmap(lambda f: feat_fn(f))(frames) if batched else feat_fn(frames)
@@ -137,13 +163,15 @@ class FlagModel(SystemModel):
         node_feats, state = self._normalize(
             state, "node", raw["node_features"], accumulate=is_training
         )
-        batch_emask = topo.ones_mask(raw["mesh_edge_features"])
+        batch_emask = (
+            None if emask is None else topo.ones_mask(raw["mesh_edge_features"])
+        )
         edge_feats, state = self._normalize(
             state,
             "mesh_edge",
             raw["mesh_edge_features"],
             accumulate=is_training,
-            mask=None if emask is None else batch_emask,
+            mask=batch_emask,
         )
         # reference quirk: node_dynamic normalizer always accumulates (flag.py:116)
         node_dyn, state = self._normalize(
@@ -158,6 +186,8 @@ class FlagModel(SystemModel):
                     senders=senders,
                     receivers=receivers,
                     mask=batch_emask,
+                    gather_idx=_opt_arr(topo.gather_idx),
+                    gather_valid=_opt_arr(topo.gather_valid),
                 )
             },
         )

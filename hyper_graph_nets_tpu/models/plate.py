@@ -49,14 +49,23 @@ class PlateModel(SystemModel):
         # reference: plate allows 'repeated' architecture without RMP (plate.py:39-40)
         self.max_world_edges = params["model"].get("max_world_edges", 1024)
 
+    def geometry(self, frames):
+        return frames["world_pos"], frames["mesh_pos"]
+
+    def obstacle_mask_np(self, frame):
+        return np.asarray(frame["node_type"])[:, 0] == NodeType.OBSTACLE
+
     def node_in_dim(self) -> int:
-        return 3 + 3  # one-hot(3) ++ obstacle velocity
+        base = 3 + 3  # one-hot(3) ++ obstacle velocity
+        return base + 2 if self.architecture == "multi" else base
 
     def edge_in_dims(self) -> Tuple[Tuple[str, int], ...]:
+        if self.architecture == "multi":
+            return (("mesh_edges", 8 + 4), ("world_edges", 4))
         dims = [("mesh_edges", 8), ("world_edges", 4)]
         if self.use_balancer:
             dims.append(("balance", 8))
-        if self.use_rmp and self.architecture != "multi":
+        if self.use_rmp:
             for name in (
                 "intra_cluster_to_cluster",
                 "intra_cluster_to_mesh",
@@ -68,7 +77,7 @@ class PlateModel(SystemModel):
     def normalizer_schema(self) -> Dict[str, int]:
         schema = {
             "output": self.output_size,
-            "node": self.node_in_dim(),
+            "node": 6,  # raw dim (multi tier tags added later)
             "node_dynamic": 1,
             "mesh_edge": 8,
             "world_edge": 4,
@@ -79,8 +88,8 @@ class PlateModel(SystemModel):
             schema["hyper_node"] = 3
         return schema
 
-    def build_topology(self, cells: np.ndarray, deform: bool = True) -> Topology:
-        return super().build_topology(cells, deform=True)
+    def build_topology(self, cells, num_nodes=None, deform: bool = True) -> Topology:
+        return super().build_topology(cells, num_nodes=num_nodes, deform=True)
 
     # ------------------------------------------------------------------
     def _world_edges(
@@ -165,13 +174,15 @@ class PlateModel(SystemModel):
         node_feats, state = self._normalize(
             state, "node", raw["node_features"], accumulate=is_training
         )
-        batch_emask = topo.ones_mask(raw["mesh_edge_features"])
+        batch_emask = (
+            None if topo.mask is None else topo.ones_mask(raw["mesh_edge_features"])
+        )
         mesh_feats, state = self._normalize(
             state,
             "mesh_edge",
             raw["mesh_edge_features"],
             accumulate=is_training,
-            mask=None if topo.mask is None else batch_emask,
+            mask=batch_emask,
         )
         world_feats, state = self._normalize(
             state,
@@ -190,6 +201,14 @@ class PlateModel(SystemModel):
                     senders=senders,
                     receivers=receivers,
                     mask=batch_emask,
+                    gather_idx=(
+                        None if topo.gather_idx is None else jnp.asarray(topo.gather_idx)
+                    ),
+                    gather_valid=(
+                        None
+                        if topo.gather_valid is None
+                        else jnp.asarray(topo.gather_valid)
+                    ),
                 ),
                 "world_edges": EdgeSet(
                     features=world_feats,

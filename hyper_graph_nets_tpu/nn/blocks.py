@@ -162,10 +162,32 @@ def _present(cfg: GNNConfig, graph: Graph, names: Sequence[str]) -> Tuple[str, .
 def _update_edge_features(
     params: dict, all_nodes: Array, es: EdgeSet, cfg: GNNConfig
 ) -> Array:
-    snd = jnp.take(all_nodes, es.senders, axis=0)
-    rcv = jnp.take(all_nodes, es.receivers, axis=0)
-    feats = jnp.concatenate([snd, rcv, es.features], axis=-1)
-    return es.features + mlp_apply(params, feats, cfg.cd)
+    """Edge update ``e + MLP([x[snd], x[rcv], e])`` with a factored first layer.
+
+    ``concat([s, r, e]) @ W1 == s @ Ws + r @ Wr + e @ We`` (W1 split row-wise),
+    so the sender/receiver contributions are computed once per *node* (~5x
+    fewer rows than edges on a mesh) and gathered at latent width — cutting
+    both MXU FLOPs and HBM traffic vs gather-concat-matmul.  Mathematically
+    identical to the reference formulation (graphnet.py:22-32).
+    """
+    from hyper_graph_nets_tpu.nn.mlp import _dense, mlp_apply_tail
+
+    L = all_nodes.shape[-1]
+    w1 = params["layers"][0]["w"]  # [(2*L + Fe), latent]
+    b1 = params["layers"][0]["b"]
+    fe = es.features.shape[-1]
+    node_part = _dense(all_nodes, jnp.concatenate([w1[:L], w1[L : 2 * L]], axis=-1), cfg.cd)
+    s_part, r_part = node_part[..., : w1.shape[-1]], node_part[..., w1.shape[-1] :]
+    e_part = _dense(es.features, w1[2 * L :], cfg.cd)
+    if cfg.cd is not None:
+        b1 = b1.astype(cfg.cd)
+    h = (
+        jnp.take(s_part, es.senders, axis=0)
+        + jnp.take(r_part, es.receivers, axis=0)
+        + e_part
+        + b1
+    )
+    return es.features + mlp_apply_tail(params, h, cfg.cd, from_layer=1)
 
 
 def _aggregate_sets(
@@ -175,9 +197,23 @@ def _aggregate_sets(
     num_total: int,
     cfg: GNNConfig,
 ) -> Array:
+    from hyper_graph_nets_tpu.core.segment_ops import gather_aggregate
+
     parts = []
     for name in names:
         es = graph.edge_sets[name]
+        if es.gather_idx is not None:
+            # fast path: one gather over the static neighbor matrix feeds
+            # all pna reductions (sum/mean/max/min) in a single pass
+            parts.append(
+                gather_aggregate(
+                    edge_feats[name], es.gather_idx, es.gather_valid, cfg.aggregation
+                )
+            )
+            continue
+        # NB: the sorted-segment hint is intentionally NOT passed — XLA's
+        # unsorted scatter path measures ~6x faster on TPU v5e for these
+        # shapes than the indices_are_sorted=True specialization.
         parts.append(
             aggregate(
                 edge_feats[name],
@@ -185,7 +221,6 @@ def _aggregate_sets(
                 num_total,
                 cfg.aggregation,
                 es.mask,
-                indices_are_sorted=True,
             )
         )
     return jnp.concatenate(parts, axis=-1)

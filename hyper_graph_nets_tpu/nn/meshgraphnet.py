@@ -91,7 +91,8 @@ def processor_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
 
 
 def decoder_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Array:
-    return mlp_apply(params["decoder"], graph.node_features, cfg.cd)
+    out = mlp_apply(params["decoder"], graph.node_features, cfg.cd)
+    return out.astype(jnp.float32)
 
 
 def network_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Array:

@@ -53,29 +53,59 @@ def mlp_init(
     return params
 
 
+def _dense(x: Array, w: Array, compute_dtype: Optional[jnp.dtype]) -> Array:
+    """Matmul; with a compute dtype the activation stream stays low-precision
+    (MXU still accumulates in f32 internally), halving HBM traffic."""
+    if compute_dtype is not None:
+        return jnp.dot(
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=compute_dtype,
+        )
+    return jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
+
+
+def _layer_norm(params: dict, x: Array) -> Array:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    x32 = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+    return (x32 * params["ln"]["scale"] + params["ln"]["bias"]).astype(dtype)
+
+
+def mlp_apply_tail(
+    params: dict,
+    x: Array,
+    compute_dtype: Optional[jnp.dtype] = None,
+    from_layer: int = 0,
+) -> Array:
+    """Apply layers [from_layer:] (+ final LayerNorm).
+
+    ``from_layer > 0`` supports callers that compute the first layer in a
+    factored form (see blocks._update_edge_features); ``x`` must then already
+    be the *pre-activation* output of layer ``from_layer - 1``.
+    """
+    layers = params["layers"]
+    n = len(layers)
+    if from_layer > 0:
+        x = jax.nn.relu(x) if from_layer < n else x
+    for i in range(from_layer, n):
+        b = layers[i]["b"]
+        if compute_dtype is not None:
+            b = b.astype(compute_dtype)
+        x = _dense(x, layers[i]["w"], compute_dtype) + b
+        if i < n - 1:
+            x = jax.nn.relu(x)
+    if "ln" in params:
+        x = _layer_norm(params, x)
+    return x
+
+
 def mlp_apply(
     params: dict,
     x: Array,
     compute_dtype: Optional[jnp.dtype] = None,
 ) -> Array:
     """Apply the MLP. Matmuls accumulate in f32 regardless of compute dtype."""
-    layers = params["layers"]
-    n = len(layers)
-    for i, layer in enumerate(layers):
-        w, b = layer["w"], layer["b"]
-        if compute_dtype is not None:
-            x = jnp.dot(
-                x.astype(compute_dtype),
-                w.astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            ) + b
-        else:
-            x = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST) + b
-        if i < n - 1:
-            x = jax.nn.relu(x)
-    if "ln" in params:
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-        x = (x - mu) * jax.lax.rsqrt(var + 1e-5)
-        x = x * params["ln"]["scale"] + params["ln"]["bias"]
-    return x
+    return mlp_apply_tail(params, x, compute_dtype, from_layer=0)

@@ -71,6 +71,10 @@ def shard_topology(topo: Topology, mesh: Mesh) -> Topology:
     mask = np.zeros(len(senders), np.float32)
     mask[:n_valid] = 1.0
     sharding = NamedSharding(mesh, P("graph"))
+    # NB: no gather matrix here — with edges sharded over 'graph', scatter
+    # segment ops partition into local partial sums + an all-reduce, which is
+    # the intended collective pattern; a global gather matrix would instead
+    # force an all-gather of edge features.
     return Topology(
         senders=jax.device_put(senders, sharding),
         receivers=jax.device_put(receivers, sharding),

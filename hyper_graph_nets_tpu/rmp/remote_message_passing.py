@@ -1,0 +1,203 @@
+"""Remote message passing facade: cluster cache + graph expansion.
+
+Parity with reference src/rmp/remote_message_passing.py:11-150 and
+get_rmp.py:19-97.  The facade owns the clustering algorithm + connector,
+caches the clustering between resets (reference :56-80), and exposes the
+``expand``/``expand_batched`` interface the trainer, evaluators and rollout
+loops call.
+
+TPU split: ``prepare(model, frame, topo)`` runs the HOST clustering stage at
+recluster boundaries and device_puts the static incidence; ``expand*`` are
+pure jit-safe functions over those arrays.  Static shapes are padded to
+powers of two where data-dependent (max cluster size), so reclustering
+reuses the same compiled executable almost always.
+
+Obstacle removal for plate (reference :82-137): obstacle nodes are excluded
+from clustering (labels -1, membership 0) rather than slicing a contiguous
+block — equivalent incidence, no reindexing.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyper_graph_nets_tpu.rmp.clustering import (
+    Clustering,
+    HostGraph,
+    get_clustering_algorithm,
+)
+from hyper_graph_nets_tpu.rmp.connector import (
+    RMPStatic,
+    build_static,
+    get_connector,
+)
+
+Array = jax.Array
+
+
+def _round_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pad_gather_cols(gather, target: int):
+    gidx, gval = np.asarray(gather[0]), np.asarray(gather[1])
+    pad = target - gidx.shape[1]
+    if pad <= 0:
+        return gidx, gval
+    return (
+        np.pad(gidx, ((0, 0), (0, pad))),
+        np.pad(gval, ((0, 0), (0, pad))),
+    )
+
+
+class RemoteMessagePassing:
+    """Cluster-once-per-reset remote message passing."""
+
+    def __init__(self, clustering_algorithm, connector):
+        self._clustering = clustering_algorithm
+        self._connector = connector
+        self._static: Optional[RMPStatic] = None
+        self._last_clustering: Optional[Clustering] = None
+
+    @property
+    def connector(self):
+        return self._connector
+
+    def initialize(self) -> list:
+        return self._connector.initialize()
+
+    def reset_clusters(self) -> None:
+        """Force reclustering on the next prepare (reference :139-144)."""
+        self._static = None
+
+    # ------------------------------------------------------------------
+    def prepare(self, model, frame: Dict[str, np.ndarray], topo) -> RMPStatic:
+        """HOST: (re)cluster on ``frame`` if the cache is empty."""
+        if self._static is not None:
+            return self._static
+        host = model.host_graph(frame, topo)
+        if host.obstacle_mask is not None and host.obstacle_mask.any():
+            clustering = self._cluster_without_obstacles(host)
+        else:
+            clustering = self._clustering.run(host)
+        self._last_clustering = clustering
+        static = build_static(
+            clustering, topo.num_nodes, fully_connect=self._connector.fully_connect
+        )
+        self._static = self._pad_static(static)
+        return self._static
+
+    def _cluster_without_obstacles(self, host: HostGraph) -> Clustering:
+        keep = ~np.asarray(host.obstacle_mask)
+        idx = np.nonzero(keep)[0]
+        remap = -np.ones(len(keep), np.int64)
+        remap[idx] = np.arange(len(idx))
+        emask = keep[host.senders] & keep[host.receivers]
+        sub = HostGraph(
+            target_feature=host.target_feature[idx],
+            mesh_features=host.mesh_features[idx],
+            senders=remap[host.senders[emask]].astype(np.int32),
+            receivers=remap[host.receivers[emask]].astype(np.int32),
+            edge_features=host.edge_features[emask],
+            node_dynamic=None
+            if host.node_dynamic is None
+            else host.node_dynamic[idx],
+            obstacle_mask=None,
+            world_dim=host.world_dim,
+        )
+        clustering = self._clustering.run(sub)
+        labels = -np.ones(len(keep), int)
+        labels[idx] = clustering.labels
+        clusters = [idx[c] for c in clustering.clusters]
+        return Clustering(
+            labels=labels,
+            clusters=clusters,
+            neighbors=clustering.neighbors,
+            num_clusters=clustering.num_clusters,
+        )
+
+    @staticmethod
+    def _pad_static(static: RMPStatic) -> RMPStatic:
+        """Pad data-dependent dims to powers of two for compile-cache reuse."""
+        d_up = _round_pow2(static.up_gather[0].shape[1])
+        d_down = _round_pow2(static.down_gather[0].shape[1])
+        d_inter = _round_pow2(static.inter_gather[0].shape[1])
+        m_max = _round_pow2(static.member_idx.shape[1])
+        return static._replace(
+            up_gather=_pad_gather_cols(static.up_gather, d_up),
+            down_gather=_pad_gather_cols(static.down_gather, d_down),
+            inter_gather=_pad_gather_cols(static.inter_gather, d_inter),
+            member_idx=np.pad(
+                static.member_idx,
+                ((0, 0), (0, m_max - static.member_idx.shape[1])),
+            ),
+            member_valid=np.pad(
+                static.member_valid,
+                ((0, 0), (0, m_max - static.member_valid.shape[1])),
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def expand(
+        self,
+        state,
+        graph,
+        frames,
+        model,
+        is_training: bool,
+        key: Optional[Array] = None,
+        static: Optional[RMPStatic] = None,
+    ):
+        """Add hyper tier + remote edges (single frame or batched)."""
+        static = static if static is not None else self._static
+        if static is None:
+            raise RuntimeError("RemoteMessagePassing.prepare() must run first")
+        target, mesh = model.geometry(frames)
+        return self._connector.expand(
+            state, graph, static, target, mesh, model, is_training, key
+        )
+
+    expand_batched = expand
+
+    def visualize_cluster(self, coordinates: np.ndarray, out_path: Optional[str] = None):
+        """3-D scatter of cluster assignments (reference :146-150 logs to
+        wandb Object3D; here: matplotlib PNG when a path is given, else the
+        colored point array)."""
+        if self._last_clustering is None:
+            return None
+        labels = np.asarray(self._last_clustering.labels)
+        if out_path is not None:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure(figsize=(6, 5))
+            ax = fig.add_subplot(111, projection="3d")
+            pts = np.asarray(coordinates)
+            if pts.shape[1] == 2:
+                pts = np.concatenate([pts, np.zeros((len(pts), 1))], axis=1)
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=labels, cmap="tab20", s=4)
+            fig.savefig(out_path, dpi=80)
+            plt.close(fig)
+            return out_path
+        return labels
+
+
+def get_rmp(config: dict) -> Optional[RemoteMessagePassing]:
+    """Build (clustering, connector) from config (reference get_rmp.py:19-26)."""
+    params = config.get("params", config)
+    rmp_cfg = params["model"].get("rmp", {})
+    clustering_name = rmp_cfg.get("clustering", "none")
+    connector_name = rmp_cfg.get("connector", "none")
+    clustering = get_clustering_algorithm(clustering_name, rmp_cfg)
+    connector = get_connector(connector_name, rmp_cfg)
+    if clustering is None or connector is None:
+        return None
+    return RemoteMessagePassing(clustering, connector)

@@ -83,31 +83,39 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def make_train_step(self, topo: Topology, expansion=None) -> Callable:
-        """Build a jitted train step for a given static topology."""
+        """Build a jitted train step for a given static topology.
+
+        With an ``expansion`` (remote message passing), the step takes an
+        extra ``rmp_static`` argument — the array pytree from
+        ``expansion.prepare(...)`` — so reclustering swaps data without
+        recompiling (shapes are padding-stabilized).
+        """
         model = self.model
 
-        def loss_fn(params, normalizers, frames):
+        def loss_fn(params, normalizers, frames, rmp_static, ekey):
             mstate = ModelState(params=params, normalizers=normalizers)
             graph, aux, mstate = model.make_graph(mstate, topo, frames, True)
             if expansion is not None:
-                graph, mstate = expansion.expand_batched(
-                    mstate, graph, frames, model, is_training=True
+                graph, mstate = expansion.expand(
+                    mstate, graph, frames, model,
+                    is_training=True, key=ekey, static=rmp_static,
                 )
             target, mstate = model.get_target(mstate, frames, is_training=True)
-            out = batched_forward(model, params, graph)
+            out = batched_forward(model, mstate.params, graph)
             mask = model.loss_mask(frames["node_type"]).astype(out.dtype)[..., None]
             se = jnp.square(target - out) * mask
             loss = jnp.sum(se) / (jnp.sum(mask) * out.shape[-1])
             return loss, mstate.normalizers
 
-        @jax.jit
-        def train_step(tstate: TrainState, frames: Dict[str, Array], key: Array):
+        def _step(tstate: TrainState, frames, key, rmp_static):
+            key, nkey, ekey = jax.random.split(key, 3)
             if model.noise_scale is not None:
                 frames = add_noise(
-                    frames, model.field, model.noise_scale, model.noise_gamma, key
+                    frames, model.field, model.noise_scale, model.noise_gamma, nkey
                 )
             (loss, normalizers), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                tstate.model.params, tstate.model.normalizers, frames
+                tstate.model.params, tstate.model.normalizers, frames, rmp_static,
+                ekey,
             )
             updates, opt_state = self.optimizer.update(
                 grads, tstate.opt_state, tstate.model.params
@@ -120,6 +128,18 @@ class Trainer:
             )
             return new_state, loss
 
+        if expansion is None:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(tstate, frames, key):
+                return _step(tstate, frames, key, None)
+
+        else:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(tstate, frames, key, rmp_static):
+                return _step(tstate, frames, key, rmp_static)
+
         return train_step
 
     def make_validation_step(self, topo: Topology, expansion=None) -> Callable:
@@ -130,12 +150,12 @@ class Trainer:
         """
         model = self.model
 
-        @jax.jit
-        def val_step(mstate: ModelState, frames: Dict[str, Array]):
+        def _val(mstate: ModelState, frames, rmp_static):
             graph, aux, _ = model.make_graph(mstate, topo, frames, False)
             if expansion is not None:
-                graph, _ = expansion.expand_batched(
-                    mstate, graph, frames, model, is_training=False
+                graph, _ = expansion.expand(
+                    mstate, graph, frames, model,
+                    is_training=False, static=rmp_static,
                 )
             target, _ = model.get_target(mstate, frames, is_training=False)
             out = batched_forward(model, mstate.params, graph)
@@ -143,9 +163,27 @@ class Trainer:
             denom = jnp.sum(mask) * out.shape[-1]
             loss = jnp.sum(jnp.square(target - out) * mask) / denom
             prediction = model.update(mstate, frames, out)
+            if isinstance(prediction, tuple):
+                prediction = prediction[0]
             tkey = "target|" + model.field
-            pos_error = jnp.sum(jnp.square(frames[tkey] - prediction) * mask) / denom
+            diff = frames[tkey] - prediction
+            m2 = model.loss_mask(frames["node_type"]).astype(diff.dtype)[..., None]
+            pos_error = jnp.sum(jnp.square(diff) * m2) / (
+                jnp.sum(m2) * diff.shape[-1]
+            )
             return loss, pos_error
+
+        if expansion is None:
+
+            @jax.jit
+            def val_step(mstate, frames):
+                return _val(mstate, frames, None)
+
+        else:
+
+            @jax.jit
+            def val_step(mstate, frames, rmp_static):
+                return _val(mstate, frames, rmp_static)
 
         return val_step
 

@@ -191,5 +191,9 @@ class TestMLP:
         x = jnp.ones((4, 8))
         y32 = mlp_apply(params, x)
         ybf = mlp_apply(params, x, compute_dtype=jnp.bfloat16)
-        assert ybf.dtype == jnp.float32
-        np.testing.assert_allclose(np.asarray(y32), np.asarray(ybf), atol=0.1)
+        # low-precision residual stream: activations stay in compute dtype
+        # (the decoder casts the final output back to f32)
+        assert ybf.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(y32), np.asarray(ybf, dtype=np.float32), atol=0.1
+        )

@@ -125,7 +125,7 @@ class TestCylinderModel:
             history=False,
         )
         self.model = CylinderModel(self.params)
-        self.topo = self.model.build_topology(self.traj["cells"][0])
+        self.topo = self.model.topology_from_trajectory(self.traj)
 
     def test_node_type_compaction(self):
         nt = jnp.array([[0], [4], [5], [6], [0]], jnp.int32)
@@ -174,7 +174,7 @@ class TestPlateModel:
             history=False,
         )
         self.model = PlateModel(self.params)
-        self.topo = self.model.build_topology(self.traj["cells"][0])
+        self.topo = self.model.topology_from_trajectory(self.traj)
 
     def test_world_edges_constraints(self):
         frame = {k: jnp.asarray(v[0]) for k, v in self.traj.items()}
