@@ -39,6 +39,11 @@ class CylinderModel(SystemModel):
     def geometry(self, frames):
         return frames["velocity"], frames["mesh_pos"]
 
+    def mesh_edge_features(self, frames, senders: Array, receivers: Array) -> Array:
+        mesh = frames["mesh_pos"]
+        rel = jnp.take(mesh, senders, axis=-2) - jnp.take(mesh, receivers, axis=-2)
+        return norm_feature(rel)
+
     def node_in_dim(self) -> int:
         return 2 + 4  # velocity ++ compacted one-hot
 

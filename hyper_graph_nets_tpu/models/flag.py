@@ -47,6 +47,15 @@ class FlagModel(SystemModel):
     def geometry(self, frames):
         return frames["world_pos"], frames["mesh_pos"]
 
+    def mesh_edge_features(self, frames, senders: Array, receivers: Array) -> Array:
+        """Mesh-edge featurization for arbitrary (snd, rcv) pairs (balancer)."""
+        world, mesh = self.geometry(frames)
+        rel_w = jnp.take(world, senders, axis=-2) - jnp.take(world, receivers, axis=-2)
+        rel_m = jnp.take(mesh, senders, axis=-2) - jnp.take(mesh, receivers, axis=-2)
+        from hyper_graph_nets_tpu.models.base import norm_feature
+
+        return jnp.concatenate([norm_feature(rel_w), norm_feature(rel_m)], axis=-1)
+
     def node_in_dim(self) -> int:
         base = self.world_dim + 2  # velocity ++ one-hot(2)
         return base + 2 if self.architecture == "multi" else base

@@ -52,6 +52,12 @@ class PlateModel(SystemModel):
     def geometry(self, frames):
         return frames["world_pos"], frames["mesh_pos"]
 
+    def mesh_edge_features(self, frames, senders: Array, receivers: Array) -> Array:
+        world, mesh = self.geometry(frames)
+        rel_w = jnp.take(world, senders, axis=-2) - jnp.take(world, receivers, axis=-2)
+        rel_m = jnp.take(mesh, senders, axis=-2) - jnp.take(mesh, receivers, axis=-2)
+        return jnp.concatenate([norm_feature(rel_w), norm_feature(rel_m)], axis=-1)
+
     def obstacle_mask_np(self, frame):
         return np.asarray(frame["node_type"])[:, 0] == NodeType.OBSTACLE
 
