@@ -1,0 +1,275 @@
+"""MeshSimulator: the training/evaluation driver (algorithm layer).
+
+Parity with reference src/algorithms/MeshSimulator.py:29-509, re-shaped for
+TPU execution:
+
+- ``fit_trajectory``: the reference's fetch_data -> block-diagonal batch ->
+  python train loop becomes: cache static topology, run the expansion reset
+  cadence at batch granularity, and call one jitted train step per frame
+  batch (vmap batching — frames of a trajectory share topology).
+- evaluators: ``one_step_evaluator`` (validation loss + de-normalized error,
+  reference :262-332), ``rollout_evaluator`` (scan rollouts + per-step MSE
+  curves + pickled rollouts, reference :334-390, 495-509),
+  ``n_step_evaluator`` (vmapped sliding windows, reference :392-436).
+- per-instance timing + losses go to the metrics logger (reference wandb
+  calls :151-156).
+
+Compiled executables are cached per (topology shape, batch size); meshes of
+identical shape across trajectories reuse them.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyper_graph_nets_tpu.models.base import ModelState, Topology, reset_due
+from hyper_graph_nets_tpu.models.get_model import get_model
+from hyper_graph_nets_tpu.training.expansion import build_expansion
+from hyper_graph_nets_tpu.training.trainer import (
+    TrainState,
+    Trainer,
+    frames_to_batches,
+)
+from hyper_graph_nets_tpu.utils.config import get_from_nested_dict
+from hyper_graph_nets_tpu.utils.metrics import MetricsLogger
+
+
+class MeshSimulator:
+    def __init__(self, config: dict, out_dir: Optional[str] = None):
+        self.config = config
+        params = config.get("params", config)
+        self.params = params
+        self.model = get_model(config)
+        self.trainer = Trainer(self.model, config)
+        self.expansion = build_expansion(self.model, config)
+        self.batch_size = get_from_nested_dict(
+            params, ["task", "batch_size"], default_return=1
+        )
+        self.time_steps = get_from_nested_dict(
+            params, ["task", "n_timesteps"], default_return=None
+        )
+        self.out_dir = out_dir or "output"
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.logger: Optional[MetricsLogger] = None
+        self._topo_cache: Dict[Tuple, Topology] = {}
+        self._step_cache: Dict[Tuple, Any] = {}
+        self._val_cache: Dict[Tuple, Any] = {}
+        self._key = jax.random.PRNGKey(params.get("random_seed", 0))
+
+    # ------------------------------------------------------------------
+    def initialize(self, logger: Optional[MetricsLogger] = None) -> TrainState:
+        self.logger = logger or MetricsLogger(self.out_dir, self.config)
+        self._key, k = jax.random.split(self._key)
+        return self.trainer.init_train_state(k)
+
+    def _topology(self, trajectory: Dict[str, np.ndarray]) -> Topology:
+        cells = np.asarray(trajectory["cells"][0])
+        key = (cells.shape, int(cells[:8].sum()), trajectory["node_type"].shape[1])
+        if key not in self._topo_cache:
+            self._topo_cache[key] = self.model.topology_from_trajectory(trajectory)
+        return self._topo_cache[key]
+
+    def _train_step_fn(self, topo: Topology):
+        key = (topo.senders.shape, topo.num_nodes, "train")
+        if key not in self._step_cache:
+            self._step_cache[key] = self.trainer.make_train_step(
+                topo, expansion=self.expansion
+            )
+        return self._step_cache[key]
+
+    def _val_step_fn(self, topo: Topology):
+        key = (topo.senders.shape, topo.num_nodes, "val")
+        if key not in self._val_cache:
+            self._val_cache[key] = self.trainer.make_validation_step(
+                topo, expansion=self.expansion
+            )
+        return self._val_cache[key]
+
+    # ------------------------------------------------------------------
+    def fit_trajectory(
+        self,
+        tstate: TrainState,
+        trajectory: Dict[str, np.ndarray],
+        epoch: int = 0,
+    ) -> Tuple[TrainState, List[float]]:
+        """Train over one trajectory in frame batches (reference :113-156)."""
+        topo = self._topology(trajectory)
+        step = self._train_step_fn(topo)
+        T = trajectory["cells"].shape[0]
+        num_steps = min(T, self.time_steps or T)
+        losses: List[float] = []
+        start_traj = time.time()
+
+        for start in range(0, num_steps, self.batch_size):
+            end = min(start + self.batch_size, num_steps)
+            static = None
+            if self.expansion is not None:
+                for i in range(start, end):
+                    if any(
+                        reset_due(i, num_steps, f) for f in self.expansion.frequencies
+                    ):
+                        self.expansion.reset(i, num_steps)
+                        break
+                frame0 = {k: v[start] for k, v in trajectory.items()}
+                static = self.expansion.prepare(self.model, frame0, topo)
+            frames = {k: jnp.asarray(v[start:end]) for k, v in trajectory.items()}
+            self._key, k = jax.random.split(self._key)
+            t0 = time.time()
+            if static is not None:
+                tstate, loss = step(tstate, frames, k, static)
+            else:
+                tstate, loss = step(tstate, frames, k)
+            loss = float(loss)
+            losses.append(loss)
+            if self.logger:
+                self.logger.log(
+                    {"loss": loss, "training time per instance": time.time() - t0}
+                )
+        if self.logger:
+            self.logger.log(
+                {
+                    "training time per trajectory": time.time() - start_traj,
+                    "loss per trajectory": float(np.mean(losses)) if losses else 0.0,
+                },
+                commit=False,
+            )
+        return tstate, losses
+
+    # ------------------------------------------------------------------
+    def one_step_evaluator(
+        self,
+        tstate: TrainState,
+        trajectories: Iterable[Dict[str, np.ndarray]],
+        n_trajectories: Optional[int] = None,
+        logging: bool = True,
+    ) -> Dict[str, float]:
+        """Validation loss + de-normalized error (reference :262-332)."""
+        losses: List[float] = []
+        errors: List[float] = []
+        for idx, traj in enumerate(trajectories):
+            if n_trajectories is not None and idx >= n_trajectories:
+                break
+            topo = self._topology(traj)
+            val = self._val_step_fn(topo)
+            static = None
+            if self.expansion is not None:
+                self.expansion.reset(0, traj["cells"].shape[0])
+                frame0 = {k: v[0] for k, v in traj.items()}
+                static = self.expansion.prepare(self.model, frame0, topo)
+            for frames in frames_to_batches(traj, self.batch_size, self.time_steps):
+                if static is not None:
+                    loss, err = val(tstate.model, frames, static)
+                else:
+                    loss, err = val(tstate.model, frames)
+                losses.append(float(loss))
+                errors.append(float(err))
+        result = {
+            "validation_loss": float(np.mean(losses)) if losses else float("nan"),
+            "position_error": float(np.mean(errors)) if errors else float("nan"),
+        }
+        if logging and self.logger:
+            self.logger.log(result, commit=False)
+            self.logger.log_histogram("validation_loss_hist", losses)
+            self.logger.log_table(
+                "one_step_eval",
+                list(zip(range(len(losses)), losses, errors)),
+                ["instance", "loss", "position_error"],
+            )
+        return result
+
+    def rollout_evaluator(
+        self,
+        tstate: TrainState,
+        trajectories: Iterable[Dict[str, np.ndarray]],
+        n_rollouts: Optional[int] = None,
+        num_steps: Optional[int] = None,
+        logging: bool = True,
+        save: bool = True,
+    ) -> Dict[str, Any]:
+        """Recursive rollouts + per-step MSE (reference :334-390)."""
+        all_mse: List[np.ndarray] = []
+        rollouts: List[Dict[str, np.ndarray]] = []
+        for idx, traj in enumerate(trajectories):
+            if n_rollouts is not None and idx >= n_rollouts:
+                break
+            topo = self._topology(traj)
+            if self.expansion is not None:
+                self.expansion.reset(0, traj["cells"].shape[0])
+                frame0 = {k: v[0] for k, v in traj.items()}
+                self.expansion.prepare(self.model, frame0, topo)
+            ops, mse = self.model.rollout(
+                tstate.model, topo, traj, num_steps=num_steps,
+                expansion=self.expansion,
+            )
+            all_mse.append(np.asarray(mse))
+            rollouts.append({k: np.asarray(v) for k, v in ops.items()})
+        mean_curve = np.mean(np.stack(all_mse), axis=0) if all_mse else np.zeros(0)
+        result = {
+            "rollout_loss": float(mean_curve.mean()) if len(mean_curve) else float("nan"),
+            "rollout_loss_last": float(mean_curve[-1]) if len(mean_curve) else float("nan"),
+            "rollouts": rollouts,
+            "mse_curve": mean_curve,
+        }
+        if save:
+            self.save_rollouts(rollouts)
+        if logging and self.logger:
+            self.logger.log(
+                {"rollout_loss": result["rollout_loss"]}, commit=False
+            )
+            self.logger.log_table(
+                "rollout_losses",
+                list(enumerate(mean_curve.tolist())),
+                ["step", "mse"],
+            )
+        return result
+
+    def n_step_evaluator(
+        self,
+        tstate: TrainState,
+        trajectories: Iterable[Dict[str, np.ndarray]],
+        n_step: int = 60,
+        n_trajectories: Optional[int] = None,
+        num_timesteps: Optional[int] = None,
+        logging: bool = True,
+    ) -> Dict[str, float]:
+        """Sliding n-step losses (reference :392-436), vmapped windows."""
+        means: List[float] = []
+        lasts: List[float] = []
+        for idx, traj in enumerate(trajectories):
+            if n_trajectories is not None and idx >= n_trajectories:
+                break
+            topo = self._topology(traj)
+            if self.expansion is not None:
+                self.expansion.reset(0, traj["cells"].shape[0])
+                frame0 = {k: v[0] for k, v in traj.items()}
+                self.expansion.prepare(self.model, frame0, topo)
+            T = traj["cells"].shape[0]
+            nt = min(num_timesteps or T, T)
+            n = min(n_step, nt - 1)
+            mean, last = self.model.n_step_computation(
+                tstate.model, topo, traj, n_step=n, num_timesteps=nt,
+                expansion=self.expansion,
+            )
+            means.append(float(mean))
+            lasts.append(float(last))
+        result = {
+            "n_step_loss": float(np.mean(means)) if means else float("nan"),
+            "n_step_last_loss": float(np.mean(lasts)) if lasts else float("nan"),
+        }
+        if logging and self.logger:
+            self.logger.log(result, commit=False)
+        return result
+
+    # ------------------------------------------------------------------
+    def save_rollouts(self, rollouts: List[Dict[str, np.ndarray]]) -> str:
+        """Pickle rollout trajectories (reference :495-509)."""
+        path = os.path.join(self.out_dir, "rollouts.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(rollouts, f)
+        return path
