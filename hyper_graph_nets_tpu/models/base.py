@@ -144,6 +144,7 @@ class SystemModel:
             architecture=self.architecture,
             hyper_in_dim=self.hyper_in_dim(),
             compute_dtype=self.compute_dtype,
+            scan_unroll=self.params["model"].get("scan_unroll", 1),
         )
 
     def init_state(self, key: Array) -> ModelState:

@@ -75,6 +75,7 @@ class GNNConfig:
     hyper_in_dim: Optional[int] = None
     repetitions: int = 2  # for 'repeated'
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
+    scan_unroll: int = 1  # processor scan unroll factor (compile-time/perf knob)
 
     @property
     def edge_sets(self) -> Tuple[str, ...]:

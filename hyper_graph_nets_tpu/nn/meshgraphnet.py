@@ -86,7 +86,9 @@ def processor_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
     def body(g, block_params):
         return block_apply(block_params, g, cfg), None
 
-    graph, _ = jax.lax.scan(body, graph, params["processor"])
+    graph, _ = jax.lax.scan(
+        body, graph, params["processor"], unroll=cfg.scan_unroll
+    )
     return graph
 
 

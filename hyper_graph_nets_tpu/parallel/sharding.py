@@ -152,9 +152,12 @@ def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(tstate: TrainState, frames: Dict[str, Array], key: Array):
+        # identical key-split pattern to Trainer.make_train_step so both
+        # paths draw the same noise for the same key
+        key, nkey, _ekey = jax.random.split(key, 3)
         if model.noise_scale is not None:
             frames = add_noise(
-                frames, model.field, model.noise_scale, model.noise_gamma, key
+                frames, model.field, model.noise_scale, model.noise_gamma, nkey
             )
         (loss, normalizers), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             tstate.model.params, tstate.model.normalizers, frames

@@ -1,0 +1,111 @@
+"""Data pipeline tests: TFRecord codec, preprocessing windows, loader."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hyper_graph_nets_tpu.data import synthetic, tfrecord
+from hyper_graph_nets_tpu.data.preprocessing import add_targets
+from hyper_graph_nets_tpu.data.loader import get_data
+
+
+class TestTFRecordCodec:
+    def test_example_roundtrip(self):
+        feats = {"a": b"\x01\x02\x03", "world_pos": np.arange(12, dtype=np.float32).tobytes()}
+        buf = tfrecord.build_example(feats)
+        out = tfrecord.parse_example(buf)
+        assert out == feats
+
+    def test_crc32c_known_value(self):
+        # RFC 3720 test vector: 32 bytes of zeros
+        assert tfrecord.crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    def test_file_roundtrip(self, tmp_path):
+        path = str(tmp_path / "t.tfrecord")
+        payloads = [b"hello", b"world", b"x" * 1000]
+        tfrecord.write_records(path, iter(payloads))
+        assert list(tfrecord.read_records(path)) == payloads
+
+    def test_trajectory_roundtrip(self, tmp_path):
+        traj = synthetic.flag_trajectory(num_steps=6, nx=4, ny=4)
+        path = str(tmp_path / "train.tfrecord")
+        tfrecord.write_trajectories(path, [traj, traj])
+        meta = synthetic.make_meta("flag_minimal", traj)
+        out = list(tfrecord.read_trajectories(path, meta))
+        assert len(out) == 2
+        for key in traj:
+            np.testing.assert_array_equal(out[0][key], traj[key])
+
+    def test_tensorflow_can_read_our_records(self, tmp_path):
+        """Cross-validate the hand-rolled codec against TF's parser."""
+        tf = pytest.importorskip("tensorflow")
+        traj = synthetic.flag_trajectory(num_steps=4, nx=4, ny=4)
+        path = str(tmp_path / "x.tfrecord")
+        tfrecord.write_trajectories(path, [traj])
+        ds = tf.data.TFRecordDataset(path)
+        raw = next(iter(ds)).numpy()
+        ex = tf.train.Example()
+        ex.ParseFromString(raw)
+        keys = set(ex.features.feature.keys())
+        assert keys == set(traj.keys())
+        wp = np.frombuffer(
+            ex.features.feature["world_pos"].bytes_list.value[0], np.float32
+        )
+        np.testing.assert_array_equal(wp, traj["world_pos"].ravel())
+
+
+class TestPreprocessing:
+    def test_add_targets_windows(self):
+        traj = synthetic.flag_trajectory(num_steps=8, nx=4, ny=4)
+        out = add_targets(traj, "world_pos", history=True)
+        T = 8
+        assert out["world_pos"].shape[0] == T - 2
+        np.testing.assert_array_equal(out["world_pos"], traj["world_pos"][1:-1])
+        np.testing.assert_array_equal(out["prev|world_pos"], traj["world_pos"][:-2])
+        np.testing.assert_array_equal(out["target|world_pos"], traj["world_pos"][2:])
+
+    def test_no_history(self):
+        traj = synthetic.cylinder_trajectory(num_steps=6, nx=5, ny=4)
+        out = add_targets(traj, "velocity", history=False)
+        assert "prev|velocity" not in out
+        assert "target|velocity" in out
+
+
+class TestLoader:
+    def test_synthetic_generation_and_streaming(self, tmp_path):
+        config = {
+            "params": {
+                "task": {
+                    "dataset": "flag_minimal",
+                    "synthetic": {"trajectories": 2, "num_steps": 8, "nx": 4, "ny": 4},
+                },
+                "model": {"field": "world_pos", "history": True},
+            }
+        }
+        loader = get_data(config, "train", data_dir=str(tmp_path))
+        trajs = loader.take(5)
+        assert len(trajs) == 2
+        assert "prev|world_pos" in trajs[0]
+        # files were written through the TFRecord path
+        assert os.path.exists(tmp_path / "flag_minimal/input/train.tfrecord")
+        assert os.path.exists(tmp_path / "flag_minimal/input/meta.json")
+        with open(tmp_path / "flag_minimal/input/meta.json") as f:
+            meta = json.load(f)
+        assert meta["features"]["world_pos"]["type"] == "dynamic"
+        assert meta["features"]["cells"]["type"] == "static"
+
+    def test_restartable_iteration(self, tmp_path):
+        config = {
+            "params": {
+                "task": {
+                    "dataset": "flag_minimal",
+                    "synthetic": {"trajectories": 1, "num_steps": 6, "nx": 4, "ny": 4},
+                },
+                "model": {"field": "world_pos", "history": True},
+            }
+        }
+        loader = get_data(config, "valid", data_dir=str(tmp_path))
+        a = loader.take(1)
+        b = loader.take(1)
+        np.testing.assert_array_equal(a[0]["world_pos"], b[0]["world_pos"])

@@ -1,0 +1,117 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Validates the north-star property (SURVEY.md §7.8): the edge-partitioned /
+data-parallel step produces the same results as the single-device step
+(modulo fp reduction order).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyper_graph_nets_tpu.data import synthetic
+from hyper_graph_nets_tpu.data.preprocessing import add_targets
+from hyper_graph_nets_tpu.models.flag import FlagModel
+from hyper_graph_nets_tpu.parallel import sharding
+from hyper_graph_nets_tpu.training.trainer import Trainer
+
+PARAMS = {
+    "task": {"dataset": "flag_minimal"},
+    "model": {
+        "field": "world_pos",
+        "history": True,
+        "size": 3,
+        "noise": 0.003,
+        "gamma": 0.9,
+        "aggregation": "pna",
+        "learning_rate": 1e-3,
+        "message_passing_steps": 2,
+        "rmp": {"clustering": "none", "connector": "none"},
+        "graph_balancer": {"algorithm": "none"},
+    },
+}
+
+
+@pytest.fixture()
+def setup():
+    # function-scoped: the single-device train step donates tstate buffers
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    traj = add_targets(
+        synthetic.flag_trajectory(num_steps=12, nx=6, ny=6), "world_pos", True
+    )
+    model = FlagModel(PARAMS)
+    topo = model.topology_from_trajectory(traj)
+    trainer = Trainer(model, PARAMS)
+    tstate = trainer.init_train_state(jax.random.PRNGKey(0))
+    return traj, model, topo, trainer, tstate
+
+
+class TestSharding:
+    def test_mesh_construction(self):
+        mesh = sharding.make_mesh(data=2, graph=4)
+        assert mesh.shape == {"data": 2, "graph": 4}
+
+    def test_shard_topology_pads_and_masks(self, setup):
+        traj, model, topo, trainer, tstate = setup
+        mesh = sharding.make_mesh(data=2, graph=4)
+        st = sharding.shard_topology(topo, mesh)
+        assert len(st.senders) % 4 == 0
+        n_valid = int(np.asarray(st.mask).sum())
+        assert n_valid == len(topo.senders)
+        # padded receivers keep sortedness
+        assert (np.diff(np.asarray(st.receivers)) >= 0).all()
+
+    def test_sharded_forward_matches_single_device(self, setup):
+        traj, model, topo, trainer, tstate = setup
+        mesh = sharding.make_mesh(data=2, graph=4)
+        st = sharding.shard_topology(topo, mesh)
+        frames = {k: jnp.asarray(v[:4]) for k, v in traj.items()}
+
+        fwd = sharding.make_sharded_forward(model, st, mesh)
+        mstate = sharding.replicate(tstate.model, mesh)
+        sharded = np.asarray(fwd(mstate, sharding.shard_frames(frames, mesh)))
+
+        graph, _, _ = model.make_graph(tstate.model, topo, frames, False)
+        from hyper_graph_nets_tpu.training.trainer import batched_forward
+
+        single = np.asarray(batched_forward(model, tstate.model.params, graph))
+        np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-5)
+
+    def test_spmd_train_step_matches_single_device(self, setup):
+        traj, model, topo, trainer, tstate = setup
+        mesh = sharding.make_mesh(data=2, graph=4)
+        st = sharding.shard_topology(topo, mesh)
+        frames = {k: jnp.asarray(v[:4]) for k, v in traj.items()}
+        key = jax.random.PRNGKey(7)
+
+        # deep-copy: device_put may alias buffers, and both steps donate arg 0
+        replicated = sharding.replicate(jax.tree.map(jnp.copy, tstate), mesh)
+        step_spmd = sharding.make_spmd_train_step(trainer, st, mesh)
+        ts2, loss2 = step_spmd(replicated, sharding.shard_frames(frames, mesh), key)
+
+        step_single = trainer.make_train_step(topo)
+        ts1, loss1 = step_single(tstate, frames, key)
+        assert abs(float(loss1) - float(loss2)) < 1e-4
+        # parameters after one step agree
+        p1 = jax.tree.leaves(ts1.model.params)
+        p2 = jax.tree.leaves(ts2.model.params)
+        for a, b in zip(p1, p2):
+            # Adam normalizes by sqrt(second moment), so near-zero-gradient
+            # elements amplify fp reduction-order noise substantially;
+            # correctness is pinned by the loss equality + forward parity test
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-3
+            )
+
+    def test_data_only_mesh(self, setup):
+        traj, model, topo, trainer, tstate = setup
+        mesh = sharding.make_mesh(data=8, graph=1)
+        st = sharding.shard_topology(topo, mesh)
+        frames = {k: jnp.asarray(v[:8]) for k, v in traj.items()}
+        step = sharding.make_spmd_train_step(trainer, st, mesh)
+        ts, loss = step(
+            sharding.replicate(tstate, mesh),
+            sharding.shard_frames(frames, mesh),
+            jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(float(loss))
