@@ -54,6 +54,7 @@ def _jax_throughput() -> dict:
             "learning_rate": 1e-4,
             "message_passing_steps": MP_STEPS,
             "compute_dtype": "bfloat16",
+            "scan_unroll": MP_STEPS,  # full unroll: XLA fuses across blocks
             "rmp": {"clustering": "none", "connector": "none"},
             "graph_balancer": {"algorithm": "none"},
         },

@@ -227,7 +227,10 @@ class SystemModel:
         target, mesh = self.geometry({k: np.asarray(v) for k, v in frame.items()})
         target = np.asarray(target)
         mesh = np.asarray(mesh)
-        snd, rcv = topo.senders, topo.receivers
+        snd, rcv = np.asarray(topo.senders), np.asarray(topo.receivers)
+        if topo.mask is not None:
+            valid = np.asarray(topo.mask) > 0
+            snd, rcv = snd[valid], rcv[valid]
         rel_t = target[snd] - target[rcv]
         rel_m = mesh[snd] - mesh[rcv]
         tn = np.linalg.norm(rel_t, axis=-1, keepdims=True)
@@ -243,6 +246,11 @@ class SystemModel:
         np.minimum.at(dyn_min, rcv, tn[:, 0])
         dyn = np.where(np.isfinite(dyn_max) & np.isfinite(dyn_min),
                        dyn_max - dyn_min, 0.0)
+        obstacle = self.obstacle_mask_np(frame)
+        # padded (bucketed) nodes are excluded from clustering like obstacles
+        padded = np.asarray(frame["node_type"])[:, 0] < 0
+        if padded.any():
+            obstacle = padded if obstacle is None else (obstacle | padded)
         return HostGraph(
             target_feature=target,
             mesh_features=mesh,
@@ -250,6 +258,6 @@ class SystemModel:
             receivers=rcv,
             edge_features=ef,
             node_dynamic=dyn,
-            obstacle_mask=self.obstacle_mask_np(frame),
+            obstacle_mask=obstacle,
             world_dim=target.shape[-1],
         )

@@ -169,8 +169,12 @@ class FlagModel(SystemModel):
             jax.vmap(lambda f: feat_fn(f))(frames) if batched else feat_fn(frames)
         )
 
+        # padded (bucketed) nodes carry node_type < 0 and are excluded from
+        # normalizer statistics (data/bucketing.py convention)
+        node_valid = (frames["node_type"][..., 0] >= 0).astype(jnp.float32)
         node_feats, state = self._normalize(
-            state, "node", raw["node_features"], accumulate=is_training
+            state, "node", raw["node_features"], accumulate=is_training,
+            mask=node_valid,
         )
         batch_emask = (
             None if emask is None else topo.ones_mask(raw["mesh_edge_features"])
@@ -184,7 +188,8 @@ class FlagModel(SystemModel):
         )
         # reference quirk: node_dynamic normalizer always accumulates (flag.py:116)
         node_dyn, state = self._normalize(
-            state, "node_dynamic", raw["node_dynamic"], accumulate=True
+            state, "node_dynamic", raw["node_dynamic"], accumulate=True,
+            mask=node_valid,
         )
 
         graph = Graph(

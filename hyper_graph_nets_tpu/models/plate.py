@@ -177,8 +177,10 @@ class PlateModel(SystemModel):
         feat_fn = functools.partial(self.frame_features, senders, receivers)
         raw = jax.vmap(feat_fn)(frames) if batched else feat_fn(frames)
 
+        node_valid = (frames["node_type"][..., 0] >= 0).astype(jnp.float32)
         node_feats, state = self._normalize(
-            state, "node", raw["node_features"], accumulate=is_training
+            state, "node", raw["node_features"], accumulate=is_training,
+            mask=node_valid,
         )
         batch_emask = (
             None if topo.mask is None else topo.ones_mask(raw["mesh_edge_features"])

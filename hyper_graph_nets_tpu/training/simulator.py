@@ -61,6 +61,20 @@ class MeshSimulator:
         self._step_cache: Dict[Tuple, Any] = {}
         self._val_cache: Dict[Tuple, Any] = {}
         self._key = jax.random.PRNGKey(params.get("random_seed", 0))
+        # cross-trajectory bucketing capacity (data/bucketing.py); None until
+        # set_capacity is called for variable-size datasets
+        self.capacity: Optional[Tuple[int, int]] = None
+
+    def set_capacity(self, num_nodes: int, num_edges: int) -> None:
+        """Enable bucketing: all trajectories pad to one static shape."""
+        self.capacity = (num_nodes, num_edges)
+
+    def _prepare(self, trajectory: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.capacity is None:
+            return trajectory
+        from hyper_graph_nets_tpu.data.bucketing import pad_trajectory
+
+        return pad_trajectory(trajectory, self.capacity[0])
 
     # ------------------------------------------------------------------
     def initialize(self, logger: Optional[MetricsLogger] = None) -> TrainState:
@@ -72,7 +86,16 @@ class MeshSimulator:
         cells = np.asarray(trajectory["cells"][0])
         key = (cells.shape, int(cells[:8].sum()), trajectory["node_type"].shape[1])
         if key not in self._topo_cache:
-            self._topo_cache[key] = self.model.topology_from_trajectory(trajectory)
+            if self.capacity is not None:
+                from hyper_graph_nets_tpu.data.bucketing import pad_topology
+
+                self._topo_cache[key] = pad_topology(
+                    self.model, trajectory, *self.capacity
+                )
+            else:
+                self._topo_cache[key] = self.model.topology_from_trajectory(
+                    trajectory
+                )
         return self._topo_cache[key]
 
     def _train_step_fn(self, topo: Topology):
@@ -99,6 +122,7 @@ class MeshSimulator:
         epoch: int = 0,
     ) -> Tuple[TrainState, List[float]]:
         """Train over one trajectory in frame batches (reference :113-156)."""
+        trajectory = self._prepare(trajectory)
         topo = self._topology(trajectory)
         step = self._train_step_fn(topo)
         T = trajectory["cells"].shape[0]
@@ -118,7 +142,13 @@ class MeshSimulator:
                         break
                 frame0 = {k: v[start] for k, v in trajectory.items()}
                 static = self.expansion.prepare(self.model, frame0, topo)
-            frames = {k: jnp.asarray(v[start:end]) for k, v in trajectory.items()}
+            # cells never reach the device (topology is pre-extracted); with
+            # bucketing their per-trajectory shapes would defeat jit caching
+            frames = {
+                k: jnp.asarray(v[start:end])
+                for k, v in trajectory.items()
+                if k != "cells"
+            }
             self._key, k = jax.random.split(self._key)
             t0 = time.time()
             if static is not None:
@@ -155,6 +185,7 @@ class MeshSimulator:
         for idx, traj in enumerate(trajectories):
             if n_trajectories is not None and idx >= n_trajectories:
                 break
+            traj = self._prepare(traj)
             topo = self._topology(traj)
             val = self._val_step_fn(topo)
             static = None
@@ -198,6 +229,7 @@ class MeshSimulator:
         for idx, traj in enumerate(trajectories):
             if n_rollouts is not None and idx >= n_rollouts:
                 break
+            traj = self._prepare(traj)
             topo = self._topology(traj)
             if self.expansion is not None:
                 self.expansion.reset(0, traj["cells"].shape[0])
@@ -244,6 +276,7 @@ class MeshSimulator:
         for idx, traj in enumerate(trajectories):
             if n_trajectories is not None and idx >= n_trajectories:
                 break
+            traj = self._prepare(traj)
             topo = self._topology(traj)
             if self.expansion is not None:
                 self.expansion.reset(0, traj["cells"].shape[0])

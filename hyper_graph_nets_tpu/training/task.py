@@ -54,6 +54,7 @@ class MeshTask(AbstractTask):
         self.logger = MetricsLogger(out_dir, config)
         self.tstate = self.simulator.initialize(self.logger)
         self.start_epoch = 0
+        self._setup_bucketing()
 
         # resume from newest checkpoint unless retrain (reference MeshTask.py:71-87)
         if not params.get("retrain", False):
@@ -63,6 +64,61 @@ class MeshTask(AbstractTask):
                 self.tstate, epoch, _ = checkpoint.load(path)
                 self.start_epoch = epoch
                 self.logger.log({"resumed_from_epoch": epoch}, commit=False)
+
+    def _setup_bucketing(self) -> None:
+        """Enable cross-trajectory padding when mesh sizes vary (bucketing.py).
+
+        Scans the splits once (bounded by the configured trajectory counts)
+        and caches the capacity next to the dataset.
+        """
+        import json
+
+        from hyper_graph_nets_tpu.core.mesh import cells_to_edges
+        from hyper_graph_nets_tpu.data.loader import get_directories
+
+        in_dir, _ = get_directories(self.dataset, self._data_dir)
+        cache = os.path.join(in_dir, "capacity.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                info = json.load(f)
+        else:
+            sizes = set()
+            max_nodes = max_edges = 0
+            limits = {
+                "train": self.trajectories,
+                "valid": max(
+                    self.valid_cfg.get("trajectories", 1),
+                    self.valid_cfg.get("rollouts", 1),
+                ),
+                "test": max(
+                    self.test_cfg.get("trajectories", 1),
+                    self.test_cfg.get("rollouts", 1),
+                ),
+            }
+            for split, limit in limits.items():
+                for i, traj in enumerate(
+                    get_data(self.config, split, data_dir=self._data_dir)
+                ):
+                    if i >= limit:
+                        break
+                    n = traj["node_type"].shape[1]
+                    sizes.add(n)
+                    max_nodes = max(max_nodes, n)
+                    cells = np.asarray(traj["cells"][0])
+                    e = len(cells_to_edges(cells, deform=cells.shape[-1] == 4).senders)
+                    max_edges = max(max_edges, e)
+            info = {
+                "variable": len(sizes) > 1,
+                "max_nodes": max_nodes,
+                "max_edges": max_edges,
+            }
+            try:
+                with open(cache, "w") as f:
+                    json.dump(info, f)
+            except OSError:
+                pass
+        if info.get("variable"):
+            self.simulator.set_capacity(info["max_nodes"], info["max_edges"])
 
     def _train_data(self):
         return get_data(self.config, "train", data_dir=self._data_dir)

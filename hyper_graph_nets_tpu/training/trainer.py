@@ -206,4 +206,9 @@ def frames_to_batches(
     )
     for start in range(0, T, batch_size):
         end = min(start + batch_size, T)
-        yield {k: jnp.asarray(v[start:end]) for k, v in trajectory.items()}
+        # cells stay on host (topology is pre-extracted; shapes vary per mesh)
+        yield {
+            k: jnp.asarray(v[start:end])
+            for k, v in trajectory.items()
+            if k != "cells"
+        }

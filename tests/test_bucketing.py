@@ -1,0 +1,138 @@
+"""Cross-trajectory bucketing tests: padded == unpadded on real nodes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyper_graph_nets_tpu.data import synthetic
+from hyper_graph_nets_tpu.data.bucketing import (
+    PAD_NODE_TYPE,
+    pad_topology,
+    pad_trajectory,
+    trajectory_capacity,
+)
+from hyper_graph_nets_tpu.data.preprocessing import add_targets
+from hyper_graph_nets_tpu.models.flag import FlagModel
+from hyper_graph_nets_tpu.rmp.remote_message_passing import get_rmp
+from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+from hyper_graph_nets_tpu.training.trainer import Trainer, batched_forward
+
+PARAMS = {
+    "task": {"dataset": "flag_minimal", "batch_size": 4, "n_timesteps": 8},
+    "model": {
+        "field": "world_pos",
+        "history": True,
+        "size": 3,
+        "noise": 0.003,
+        "gamma": 0.9,
+        "aggregation": "pna",
+        "learning_rate": 1e-3,
+        "message_passing_steps": 2,
+        "rmp": {"clustering": "none", "connector": "none"},
+        "graph_balancer": {"algorithm": "none"},
+    },
+}
+
+
+def two_sizes():
+    t1 = add_targets(synthetic.flag_trajectory(num_steps=10, nx=4, ny=4), "world_pos", True)
+    t2 = add_targets(synthetic.flag_trajectory(num_steps=10, nx=6, ny=5), "world_pos", True)
+    return t1, t2
+
+
+class TestBucketing:
+    def test_capacity_and_padding(self):
+        t1, t2 = two_sizes()
+        n, e = trajectory_capacity([t1, t2])
+        assert n == 30
+        padded = pad_trajectory(t1, n)
+        assert padded["world_pos"].shape[1] == 30
+        assert (padded["node_type"][:, 16:, 0] == PAD_NODE_TYPE).all()
+        # original data untouched
+        np.testing.assert_array_equal(padded["world_pos"][:, :16], t1["world_pos"])
+        assert padded["cells"].shape == t1["cells"].shape  # cells not padded
+
+    def test_padded_forward_matches_unpadded_on_real_nodes(self):
+        t1, t2 = two_sizes()
+        n, e = trajectory_capacity([t1, t2])
+        model = FlagModel(PARAMS)
+        state = model.init_state(jax.random.PRNGKey(0))
+
+        topo_u = model.topology_from_trajectory(t1)
+        frames_u = {k: jnp.asarray(v[:3]) for k, v in t1.items() if k != "cells"}
+        graph_u, _, _ = model.make_graph(state, topo_u, frames_u, False)
+        out_u = np.asarray(batched_forward(model, state.params, graph_u))
+
+        padded = pad_trajectory(t1, n)
+        topo_p = pad_topology(model, padded, n, e)
+        frames_p = {k: jnp.asarray(v[:3]) for k, v in padded.items() if k != "cells"}
+        graph_p, _, _ = model.make_graph(state, topo_p, frames_p, False)
+        out_p = np.asarray(batched_forward(model, state.params, graph_p))
+
+        np.testing.assert_allclose(out_p[:, :16], out_u, rtol=2e-4, atol=1e-5)
+
+    def test_padded_normalizer_stats_match(self):
+        t1, t2 = two_sizes()
+        n, e = trajectory_capacity([t1, t2])
+        model = FlagModel(PARAMS)
+        state = model.init_state(jax.random.PRNGKey(0))
+        frames_u = {k: jnp.asarray(v[:3]) for k, v in t1.items() if k != "cells"}
+        topo_u = model.topology_from_trajectory(t1)
+        _, _, s_u = model.make_graph(state, topo_u, frames_u, True)
+
+        padded = pad_trajectory(t1, n)
+        topo_p = pad_topology(model, padded, n, e)
+        frames_p = {k: jnp.asarray(v[:3]) for k, v in padded.items() if k != "cells"}
+        _, _, s_p = model.make_graph(state, topo_p, frames_p, True)
+        for name in ("node", "mesh_edge", "node_dynamic"):
+            np.testing.assert_allclose(
+                np.asarray(s_u.normalizers[name].acc_sum),
+                np.asarray(s_p.normalizers[name].acc_sum),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+            assert float(s_u.normalizers[name].acc_count) == float(
+                s_p.normalizers[name].acc_count
+            )
+
+    def test_mixed_size_training_via_simulator(self):
+        t1, t2 = two_sizes()
+        sim = MeshSimulator(PARAMS, out_dir="/tmp/bucketing_test_out")
+        ts = sim.initialize()
+        n, e = trajectory_capacity([t1, t2])
+        sim.set_capacity(n, e)
+        ts, l1 = sim.fit_trajectory(ts, t1)
+        ts, l2 = sim.fit_trajectory(ts, t2)
+        assert np.isfinite(l1).all() and np.isfinite(l2).all()
+        # both trajectories shared one compiled step
+        assert len(sim._step_cache) == 1
+
+    def test_rmp_excludes_padded_nodes(self):
+        t1, t2 = two_sizes()
+        n, e = trajectory_capacity([t1, t2])
+        params = {
+            **PARAMS,
+            "model": {
+                **PARAMS["model"],
+                "rmp": {
+                    "clustering": "kmeans",
+                    "connector": "hyper",
+                    "num_clusters": 3,
+                    "hyper_noise": 0.005,
+                    "hyper_node_features": True,
+                    "frequency": 1,
+                    "fully_connect": False,
+                    "intra_cluster_sampling": {
+                        "enabled": False,
+                        "alpha": 0.1,
+                        "spotter_threshold": 0,
+                    },
+                },
+            },
+        }
+        model = FlagModel(params)
+        padded = pad_trajectory(t1, n)
+        topo = pad_topology(model, padded, n, e)
+        rmp = get_rmp(params)
+        static = rmp.prepare(model, {k: v[0] for k, v in padded.items()}, topo)
+        assert static.member_mask[16:].sum() == 0  # padded nodes in no cluster
+        assert static.member_mask[:16].sum() == 16
