@@ -162,10 +162,14 @@ class MeshSimulator:
                     {"loss": loss, "training time per instance": time.time() - t0}
                 )
         if self.logger:
+            elapsed = time.time() - start_traj
+            num_edges = len(topo.senders)
             self.logger.log(
                 {
-                    "training time per trajectory": time.time() - start_traj,
+                    "training time per trajectory": elapsed,
                     "loss per trajectory": float(np.mean(losses)) if losses else 0.0,
+                    # the BASELINE throughput metric (edges consumed per sec)
+                    "edges_per_s": num_steps * num_edges / max(elapsed, 1e-9),
                 },
                 commit=False,
             )

@@ -68,8 +68,24 @@ class Trainer:
     def __init__(self, model: SystemModel, config: dict):
         self.model = model
         params = config.get("params", config)
-        lr = params["model"].get("learning_rate", 1e-4)
-        self.optimizer = optax.adam(lr)
+        model_cfg = params["model"]
+        lr = model_cfg.get("learning_rate", 1e-4)
+        # Optional exponential decay after `scheduler_epoch` epochs (the
+        # reference carries the config key, configs/minimal.yaml:31; the
+        # MeshGraphNets paper decays lr 1e-4 -> 1e-6).  Enabled by setting
+        # model.lr_decay_steps; plain Adam otherwise (reference
+        # MeshSimulator.py:110 uses constant lr).
+        decay_steps = model_cfg.get("lr_decay_steps")
+        if decay_steps:
+            schedule = optax.exponential_decay(
+                init_value=lr,
+                transition_steps=decay_steps,
+                decay_rate=model_cfg.get("lr_decay_rate", 0.01),
+                end_value=model_cfg.get("lr_min", 1e-6),
+            )
+            self.optimizer = optax.adam(schedule)
+        else:
+            self.optimizer = optax.adam(lr)
         self._train_step_cache: Dict[Any, Callable] = {}
         self._val_step_cache: Dict[Any, Callable] = {}
 
