@@ -81,19 +81,46 @@ def get_data(
 
 
 class GraphDataLoader:
-    """Thin iterable over preprocessed trajectories.
+    """Iterable over preprocessed trajectories with background prefetch.
 
     The reference's GraphDataLoader reseeds numpy each epoch for
     deterministic noise (src/data/graphloader.py:14); here noise is
     drawn from JAX PRNG keys in the trainer, so the loader is a plain
-    restartable iterable.
+    restartable iterable.  A producer thread overlaps TFRecord decode with
+    device compute (the reference reads a ``prefetch_factor`` config but
+    never applies it — reference MeshSimulator.py:53).
     """
 
-    def __init__(self, source):
+    def __init__(self, source, prefetch: int = 2):
         self._source = source
+        self._prefetch = prefetch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        return iter(self._source)
+        if self._prefetch <= 0:
+            return iter(self._source)
+        return self._prefetch_iter()
+
+    def _prefetch_iter(self) -> Iterator[Dict[str, np.ndarray]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in self._source:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
 
     def take(self, n: int) -> List[Dict[str, np.ndarray]]:
         out = []

@@ -33,7 +33,6 @@ class AbstractIterativeAlgorithm:
 
 # MeshSimulator implements the interface structurally (duck-typed pytrees
 # rather than an inheritance requirement).
-AbstractIterativeAlgorithm.register = classmethod(lambda cls, impl: impl)
 
 
 def get_algorithm(config: dict, out_dir: Optional[str] = None) -> MeshSimulator:
