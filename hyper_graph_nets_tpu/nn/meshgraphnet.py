@@ -106,3 +106,30 @@ def network_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Array:
     latent = encoder_apply(params, graph, cfg)
     latent = processor_apply(params, latent, cfg)
     return decoder_apply(params, latent, cfg)
+
+
+def network_activations(params: dict, graph: Graph, cfg: GNNConfig) -> dict:
+    """Forward pass capturing per-layer activations (parity/debug tool).
+
+    Returns {'encoder': Graph, 'blocks': [node latents per MP step],
+    'hyper_blocks': [...] or None, 'output': decoded}.  Supports the
+    BASELINE requirement of per-layer activation comparison against the
+    reference.
+    """
+    latent = encoder_apply(params, graph, cfg)
+    enc = latent
+
+    def body(g, block_params):
+        g = block_apply(block_params, g, cfg)
+        out = (g.node_features, g.hyper_features) if g.hyper_features is not None else (g.node_features,)
+        return g, out
+
+    latent, stacked = jax.lax.scan(body, latent, params["processor"])
+    blocks = list(stacked[0])
+    hyper_blocks = list(stacked[1]) if len(stacked) > 1 else None
+    return {
+        "encoder": enc,
+        "blocks": blocks,
+        "hyper_blocks": hyper_blocks,
+        "output": decoder_apply(params, latent, cfg),
+    }

@@ -72,6 +72,7 @@ def reference_torch_forward(params, node_in, edge_in, snd, rcv, cfg):
         nodes = enc_node(node_in)
         edges = enc_edge(edge_in)
 
+        per_block = []
         for step in range(cfg.message_passing_steps):
             block = jax.tree.map(lambda x: np.asarray(x[step]), params["processor"])
             edge_mlp = torch_mlp_from_params(block["edge_models"]["mesh_edges"])
@@ -84,9 +85,10 @@ def reference_torch_forward(params, node_in, edge_in, snd, rcv, cfg):
             # node update: concat(node, pna aggregates) -> MLP -> residual
             agg = scatter_pna(edges, rcv, n)
             nodes = nodes + node_mlp(torch.cat([nodes, agg], dim=-1))
+            per_block.append(nodes.numpy().copy())
 
         dec = torch_mlp_from_params(params["decoder"], layer_norm=False)
-        return dec(nodes).numpy()
+        return dec(nodes).numpy(), per_block
 
 
 @pytest.fixture(scope="module")
@@ -135,10 +137,40 @@ class TestTorchParity:
     def test_full_forward_matches_reference_transcription(self, setup, use_gather):
         traj, edges, node_in, edge_in, cfg, params = setup
         got = self._jax_forward(edges, node_in, edge_in, cfg, params, use_gather)
-        want = reference_torch_forward(
+        want, _ = reference_torch_forward(
             params, node_in, edge_in, edges.senders, edges.receivers, cfg
         )
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+    def test_per_layer_activations_match(self, setup):
+        """Per-MP-step node latents match the reference transcription
+        (the BASELINE per-layer-activation requirement)."""
+        from hyper_graph_nets_tpu.nn.meshgraphnet import network_activations
+
+        traj, edges, node_in, edge_in, cfg, params = setup
+        graph = Graph(
+            node_features=jnp.asarray(node_in),
+            edge_sets={
+                "mesh_edges": EdgeSet(
+                    features=jnp.asarray(edge_in),
+                    senders=jnp.asarray(edges.senders),
+                    receivers=jnp.asarray(edges.receivers),
+                )
+            },
+        )
+        acts = network_activations(params, graph, cfg)
+        _, torch_blocks = reference_torch_forward(
+            params, node_in, edge_in, edges.senders, edges.receivers, cfg
+        )
+        assert len(acts["blocks"]) == MP_STEPS
+        for step in range(MP_STEPS):
+            np.testing.assert_allclose(
+                np.asarray(acts["blocks"][step]),
+                torch_blocks[step],
+                rtol=5e-4,
+                atol=5e-5,
+                err_msg=f"block {step}",
+            )
 
     def test_gather_and_scatter_paths_agree(self, setup):
         traj, edges, node_in, edge_in, cfg, params = setup
