@@ -264,8 +264,12 @@ class HierarchicalConnector:
                 jnp.asarray(static.sizes), d_world.shape[:-1] + (num_clusters,)
             )
             aug_raw = jnp.stack([sizes, spread(d_mesh), spread(d_world)], axis=-1)
+            # K may be padded (HDBSCAN variable cluster count): empty
+            # clusters are excluded from hyper-normalizer statistics
+            cluster_valid = (sizes > 0).astype(jnp.float32)
             aug, state = model._normalize(
-                state, "hyper_node", aug_raw, accumulate=is_training
+                state, "hyper_node", aug_raw, accumulate=is_training,
+                mask=cluster_valid,
             )
             hyper_features = jnp.concatenate([node_feature_means, aug], axis=-1)
         else:

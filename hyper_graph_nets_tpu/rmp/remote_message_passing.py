@@ -124,7 +124,55 @@ class RemoteMessagePassing:
 
     @staticmethod
     def _pad_static(static: RMPStatic) -> RMPStatic:
-        """Pad data-dependent dims to powers of two for compile-cache reuse."""
+        """Pad data-dependent dims to powers of two for compile-cache reuse.
+
+        Both the per-cluster degree dims AND the cluster count K pad (HDBSCAN
+        produces variable K per recluster — reference hdbscan.py:44).  Padded
+        clusters have zero assignment rows, mask-0 incidence, and no down
+        edges, so they are inert in the network.
+        """
+        K = static.assign_mean.shape[0]
+        Kp = _round_pow2(K)
+        n = static.labels.shape[0]
+        pad_k = Kp - K
+
+        def pad_rows(x):
+            return np.pad(np.asarray(x), ((0, pad_k),) + ((0, 0),) * (np.ndim(x) - 1))
+
+        # up/down receivers reference hyper rows n+label: row space grows to
+        # n+Kp, so gather matrices need Kp - K extra rows
+        def pad_gather_rows(gather):
+            gidx, gval = np.asarray(gather[0]), np.asarray(gather[1])
+            return (
+                np.pad(gidx, ((0, pad_k), (0, 0))),
+                np.pad(gval, ((0, pad_k), (0, 0))),
+            )
+
+        if pad_k:
+            # re-pad inter edge capacity to the padded-K convention
+            static = static._replace(
+                assign_mean=pad_rows(static.assign_mean),
+                sizes=pad_rows(static.sizes),
+                member_idx=pad_rows(static.member_idx),
+                member_valid=pad_rows(static.member_valid),
+                up_gather=pad_gather_rows(static.up_gather),
+                down_gather=pad_gather_rows(static.down_gather),
+                inter_gather=pad_gather_rows(static.inter_gather),
+            )
+            P_target = Kp * (Kp - 1)
+            p = static.inter_senders.shape[0]
+            if p < P_target:
+                pad_p = P_target - p
+                static = static._replace(
+                    inter_senders=np.pad(static.inter_senders, (0, pad_p)),
+                    inter_receivers=np.pad(static.inter_receivers, (0, pad_p)),
+                    inter_mask=np.pad(static.inter_mask, (0, pad_p)),
+                    inter_gather=(
+                        static.inter_gather[0],
+                        static.inter_gather[1],
+                    ),
+                )
+
         d_up = _round_pow2(static.up_gather[0].shape[1])
         d_down = _round_pow2(static.down_gather[0].shape[1])
         d_inter = _round_pow2(static.inter_gather[0].shape[1])
