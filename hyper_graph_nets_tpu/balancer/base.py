@@ -56,6 +56,11 @@ class GraphBalancer:
     def reset_balancer(self) -> None:
         self._static = None
 
+    @property
+    def static(self):
+        """Current cached static incidence (None before prepare)."""
+        return self._static
+
     # ------------------------------------------------------------------
     def prepare(self, model, frame: Dict[str, np.ndarray], topo) -> BalancerStatic:
         if self._static is not None:

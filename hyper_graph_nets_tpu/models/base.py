@@ -113,6 +113,28 @@ class SystemModel:
         self.balance_frequency = bal_cfg.get("frequency", 1)
         self.rmp_config = rmp_cfg
         self.balancer_config = bal_cfg
+        # compiled-rollout cache: evaluation loops reuse jitted scan bodies
+        # across epochs instead of retracing per call
+        self._fn_cache: Dict[Any, Any] = {}
+
+    def _cached_jit(self, key, build):
+        """Cache a jitted closure keyed by static call signature."""
+        if key not in self._fn_cache:
+            import jax as _jax
+
+            self._fn_cache[key] = _jax.jit(build())
+        return self._fn_cache[key]
+
+    @staticmethod
+    def _static_shapes(tree) -> tuple:
+        import jax as _jax
+
+        if tree is None:
+            return ()
+        return tuple(
+            (tuple(x.shape), str(getattr(x, "dtype", "")))
+            for x in _jax.tree.leaves(tree)
+        )
 
     # -- schema hooks (subclasses override) --------------------------------
     def edge_in_dims(self) -> Tuple[Tuple[str, int], ...]:

@@ -180,30 +180,58 @@ class CylinderModel(SystemModel):
     ) -> Tuple[Dict[str, Array], Array]:
         T = trajectory["cells"].shape[0]
         num_steps = T if num_steps is None else min(num_steps, T)
-        init = {k: jnp.asarray(v[0]) for k, v in trajectory.items()}
-        mask = self.loss_mask(init["node_type"])[:, None]
-        static_frame = {
-            "mesh_pos": init["mesh_pos"],
-            "node_type": init["node_type"],
-        }
+        static = expansion.static if expansion is not None else None
+        cache_key = (
+            "rollout",
+            topo.senders.shape,
+            topo.num_nodes,
+            num_steps,
+            id(expansion),
+            self._static_shapes(static),
+        )
 
-        def step(carry, _):
-            velocity, pressure = carry
-            frame = {**static_frame, "velocity": velocity, "pressure": pressure}
-            graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
-            if expansion is not None:
-                graph, _ = expansion.expand(
-                    state, graph, frame, self, is_training=False
+        def build():
+            def core(state, init, gt, static):
+                mask = self.loss_mask(init["node_type"])[:, None]
+                static_frame = {
+                    "mesh_pos": init["mesh_pos"],
+                    "node_type": init["node_type"],
+                }
+
+                def step(carry, _):
+                    velocity, pressure = carry
+                    frame = {
+                        **static_frame, "velocity": velocity, "pressure": pressure
+                    }
+                    graph, _, _ = self.make_graph(
+                        state, topo, frame, False, batched=False
+                    )
+                    if expansion is not None:
+                        graph, _ = expansion.expand(
+                            state, graph, frame, self,
+                            is_training=False, static=static,
+                        )
+                    pred_v, pred_p = self.update(
+                        state, frame, self.forward(state, graph)
+                    )
+                    next_v = jnp.where(mask, pred_v, velocity)
+                    return (next_v, pred_p), (next_v, pred_p)
+
+                carry = (init["velocity"], init["pressure"])
+                _, (pred_v, pred_p) = jax.lax.scan(
+                    step, carry, None, length=num_steps
                 )
-            pred_v, pred_p = self.update(state, frame, self.forward(state, graph))
-            next_v = jnp.where(mask, pred_v, velocity)
-            return (next_v, pred_p), (next_v, pred_p)
+                mse = jnp.mean(jnp.square(gt - pred_v), axis=(-2, -1))
+                return pred_v, pred_p, mse
 
-        carry = (init["velocity"], init["pressure"])
-        _, (pred_v, pred_p) = jax.lax.scan(step, carry, None, length=num_steps)
+            return core
 
+        fn = self._cached_jit(cache_key, build)
+        init = {
+            k: jnp.asarray(v[0]) for k, v in trajectory.items() if k != "cells"
+        }
         gt = jnp.asarray(trajectory["velocity"][:num_steps])
-        mse = jnp.mean(jnp.square(gt - pred_v), axis=(-2, -1))
+        pred_v, pred_p, mse = fn(state, init, gt, static)
         traj_ops = {
             "faces": trajectory["cells"],
             "mesh_pos": trajectory["mesh_pos"],
@@ -225,35 +253,57 @@ class CylinderModel(SystemModel):
     ) -> Tuple[Array, Array]:
         T = trajectory["cells"].shape[0] if num_timesteps is None else num_timesteps
         starts = np.arange(T - n_step)
-        init0 = {k: jnp.asarray(v[0]) for k, v in trajectory.items()}
-        mask = self.loss_mask(init0["node_type"])[:, None]
+        static = expansion.static if expansion is not None else None
+        cache_key = (
+            "n_step",
+            topo.senders.shape,
+            topo.num_nodes,
+            n_step,
+            len(starts),
+            id(expansion),
+            self._static_shapes(static),
+        )
+
+        def build():
+            def core(state, static_frame, v0, p0, gt, static):
+                mask = self.loss_mask(static_frame["node_type"])[:, None]
+
+                def one_window(velocity, pressure, gt_win):
+                    def step(carry, _):
+                        v, p = carry
+                        frame = {**static_frame, "velocity": v, "pressure": p}
+                        graph, _, _ = self.make_graph(
+                            state, topo, frame, False, batched=False
+                        )
+                        if expansion is not None:
+                            graph, _ = expansion.expand(
+                                state, graph, frame, self,
+                                is_training=False, static=static,
+                            )
+                        pred_v, pred_p = self.update(
+                            state, frame, self.forward(state, graph)
+                        )
+                        next_v = jnp.where(mask, pred_v, v)
+                        return (next_v, pred_p), next_v
+
+                    _, pred = jax.lax.scan(
+                        step, (velocity, pressure), None, length=n_step + 1
+                    )
+                    return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
+
+                losses = jax.vmap(one_window)(v0, p0, gt)
+                return jnp.mean(losses), jnp.mean(losses[:, -1])
+
+            return core
+
+        fn = self._cached_jit(cache_key, build)
         static_frame = {
-            "mesh_pos": init0["mesh_pos"],
-            "node_type": init0["node_type"],
+            "mesh_pos": jnp.asarray(trajectory["mesh_pos"][0]),
+            "node_type": jnp.asarray(trajectory["node_type"][0]),
         }
         v0 = jnp.asarray(trajectory["velocity"][starts])
         p0 = jnp.asarray(trajectory["pressure"][starts])
         gt = jnp.stack(
             [trajectory["velocity"][s : s + n_step + 1] for s in starts]
         )
-
-        def one_window(velocity, pressure, gt_win):
-            def step(carry, _):
-                v, p = carry
-                frame = {**static_frame, "velocity": v, "pressure": p}
-                graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
-                if expansion is not None:
-                    graph, _ = expansion.expand(
-                        state, graph, frame, self, is_training=False
-                    )
-                pred_v, pred_p = self.update(state, frame, self.forward(state, graph))
-                next_v = jnp.where(mask, pred_v, v)
-                return (next_v, pred_p), next_v
-
-            _, pred = jax.lax.scan(
-                step, (velocity, pressure), None, length=n_step + 1
-            )
-            return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
-
-        losses = jax.vmap(one_window)(v0, p0, jnp.asarray(gt))
-        return jnp.mean(losses), jnp.mean(losses[:, -1])
+        return fn(state, static_frame, v0, p0, jnp.asarray(gt), static)

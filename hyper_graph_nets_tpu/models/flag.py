@@ -245,33 +245,59 @@ class FlagModel(SystemModel):
         """
         T = trajectory["cells"].shape[0]
         num_steps = T if num_steps is None else min(num_steps, T)
-        init = {k: jnp.asarray(v[0]) for k, v in trajectory.items()}
-        node_type = init["node_type"]
-        mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+        static = expansion.static if expansion is not None else None
+        cache_key = (
+            "rollout",
+            topo.senders.shape,
+            topo.num_nodes,
+            num_steps,
+            id(expansion),
+            self._static_shapes(static),
+        )
 
-        static_frame = {"mesh_pos": init["mesh_pos"], "node_type": node_type}
+        def build():
+            def core(state, init, gt, static):
+                node_type = init["node_type"]
+                mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+                static_frame = {
+                    "mesh_pos": init["mesh_pos"],
+                    "node_type": node_type,
+                }
 
-        def step(carry, _):
-            prev_pos, cur_pos = carry
-            frame = {
-                **static_frame,
-                "world_pos": cur_pos,
-                "prev|world_pos": prev_pos,
-            }
-            graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
-            if expansion is not None:
-                graph, _ = expansion.expand(
-                    state, graph, frame, self, is_training=False
-                )
-            prediction = self.update(state, frame, self.forward(state, graph))
-            next_pos = jnp.where(mask, prediction, cur_pos)
-            return (cur_pos, next_pos), cur_pos
+                def step(carry, _):
+                    prev_pos, cur_pos = carry
+                    frame = {
+                        **static_frame,
+                        "world_pos": cur_pos,
+                        "prev|world_pos": prev_pos,
+                    }
+                    graph, _, _ = self.make_graph(
+                        state, topo, frame, False, batched=False
+                    )
+                    if expansion is not None:
+                        graph, _ = expansion.expand(
+                            state, graph, frame, self,
+                            is_training=False, static=static,
+                        )
+                    prediction = self.update(
+                        state, frame, self.forward(state, graph)
+                    )
+                    next_pos = jnp.where(mask, prediction, cur_pos)
+                    return (cur_pos, next_pos), cur_pos
 
-        carry = (init["prev|world_pos"], init["world_pos"])
-        _, pred = jax.lax.scan(step, carry, None, length=num_steps)
+                carry = (init["prev|world_pos"], init["world_pos"])
+                _, pred = jax.lax.scan(step, carry, None, length=num_steps)
+                mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
+                return pred, mse
 
+            return core
+
+        fn = self._cached_jit(cache_key, build)
+        init = {
+            k: jnp.asarray(v[0]) for k, v in trajectory.items() if k != "cells"
+        }
         gt = jnp.asarray(trajectory["world_pos"][:num_steps])
-        mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
+        pred, mse = fn(state, init, gt, static)
         traj_ops = {
             "faces": trajectory["cells"],
             "mesh_pos": trajectory["mesh_pos"],
@@ -296,37 +322,62 @@ class FlagModel(SystemModel):
         """
         T = trajectory["cells"].shape[0] if num_timesteps is None else num_timesteps
         starts = np.arange(T - n_step)
-        node_type = jnp.asarray(trajectory["node_type"][0])
-        mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+        static = expansion.static if expansion is not None else None
+        cache_key = (
+            "n_step",
+            topo.senders.shape,
+            topo.num_nodes,
+            n_step,
+            len(starts),
+            id(expansion),
+            self._static_shapes(static),
+        )
+
+        def build():
+            def core(state, static_frame_in, prev0, cur0, gt, static):
+                node_type = static_frame_in["node_type"]
+                mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+
+                def one_window(prev_pos, cur_pos, gt_win):
+                    def step(carry, _):
+                        prev_p, cur_p = carry
+                        frame = {
+                            **static_frame_in,
+                            "world_pos": cur_p,
+                            "prev|world_pos": prev_p,
+                        }
+                        graph, _, _ = self.make_graph(
+                            state, topo, frame, False, batched=False
+                        )
+                        if expansion is not None:
+                            graph, _ = expansion.expand(
+                                state, graph, frame, self,
+                                is_training=False, static=static,
+                            )
+                        prediction = self.update(
+                            state, frame, self.forward(state, graph)
+                        )
+                        next_pos = jnp.where(mask, prediction, cur_p)
+                        return (cur_p, next_pos), cur_p
+
+                    _, pred = jax.lax.scan(
+                        step, (prev_pos, cur_pos), None, length=n_step + 1
+                    )
+                    return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
+
+                losses = jax.vmap(one_window)(prev0, cur0, gt)  # [W, n+1]
+                return jnp.mean(losses), jnp.mean(losses[:, -1])
+
+            return core
+
+        fn = self._cached_jit(cache_key, build)
         static_frame = {
             "mesh_pos": jnp.asarray(trajectory["mesh_pos"][0]),
-            "node_type": node_type,
+            "node_type": jnp.asarray(trajectory["node_type"][0]),
         }
         prev0 = jnp.asarray(trajectory["prev|world_pos"][starts])
         cur0 = jnp.asarray(trajectory["world_pos"][starts])
         gt = jnp.stack(
             [trajectory["world_pos"][s : s + n_step + 1] for s in starts]
         )  # [W, n+1, N, 3]
-
-        def one_window(prev_pos, cur_pos, gt_win):
-            def step(carry, _):
-                prev_p, cur_p = carry
-                frame = {
-                    **static_frame,
-                    "world_pos": cur_p,
-                    "prev|world_pos": prev_p,
-                }
-                graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
-                if expansion is not None:
-                    graph, _ = expansion.expand(
-                        state, graph, frame, self, is_training=False
-                    )
-                prediction = self.update(state, frame, self.forward(state, graph))
-                next_pos = jnp.where(mask, prediction, cur_p)
-                return (cur_p, next_pos), cur_p
-
-            _, pred = jax.lax.scan(step, (prev_pos, cur_pos), None, length=n_step + 1)
-            return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))  # [n+1]
-
-        losses = jax.vmap(one_window)(prev0, cur0, jnp.asarray(gt))  # [W, n+1]
-        return jnp.mean(losses), jnp.mean(losses[:, -1])
+        return fn(state, static_frame, prev0, cur0, jnp.asarray(gt), static)

@@ -250,36 +250,65 @@ class PlateModel(SystemModel):
     ) -> Tuple[Dict[str, Array], Array]:
         T = trajectory["cells"].shape[0]
         num_steps = T if num_steps is None else min(num_steps, T)
-        init = {k: jnp.asarray(v[0]) for k, v in trajectory.items()}
-        node_type = init["node_type"]
-        mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
-        static_frame = {"mesh_pos": init["mesh_pos"], "node_type": node_type}
+        static = expansion.static if expansion is not None else None
+        cache_key = (
+            "rollout",
+            topo.senders.shape,
+            topo.num_nodes,
+            num_steps,
+            id(expansion),
+            self._static_shapes(static),
+        )
+
+        def build():
+            def core(state, init, targets, gt, static):
+                node_type = init["node_type"]
+                mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+                static_frame = {
+                    "mesh_pos": init["mesh_pos"],
+                    "node_type": node_type,
+                }
+
+                def step(cur_pos, target_pos):
+                    frame = {
+                        **static_frame,
+                        "world_pos": cur_pos,
+                        "target|world_pos": target_pos,
+                    }
+                    graph, _, _ = self.make_graph(
+                        state, topo, frame, False, batched=False
+                    )
+                    if expansion is not None:
+                        graph, _ = expansion.expand(
+                            state, graph, frame, self,
+                            is_training=False, static=static,
+                        )
+                    prediction = self.update(
+                        state, frame, self.forward(state, graph)
+                    )
+                    # kinematic nodes follow the ground truth (plate.py:328)
+                    next_pos = jnp.where(mask, prediction, target_pos)
+                    return next_pos, next_pos
+
+                _, pred = jax.lax.scan(step, init["world_pos"], targets)
+                mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
+                return pred, mse
+
+            return core
+
+        fn = self._cached_jit(cache_key, build)
+        init = {
+            k: jnp.asarray(v[0]) for k, v in trajectory.items() if k != "cells"
+        }
         targets = jnp.asarray(trajectory["target|world_pos"][:num_steps])
-
-        def step(cur_pos, target_pos):
-            frame = {
-                **static_frame,
-                "world_pos": cur_pos,
-                "target|world_pos": target_pos,
-            }
-            graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
-            if expansion is not None:
-                graph, _ = expansion.expand(
-                    state, graph, frame, self, is_training=False
-                )
-            prediction = self.update(state, frame, self.forward(state, graph))
-            # kinematic nodes follow the ground-truth target (plate.py:328)
-            next_pos = jnp.where(mask, prediction, target_pos)
-            return next_pos, next_pos
-
-        _, pred = jax.lax.scan(step, init["world_pos"], targets)
-
         gt = jnp.asarray(trajectory["world_pos"][:num_steps])
-        mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
+        pred, mse = fn(state, init, targets, gt, static)
         traj_ops = {
             "faces": trajectory["cells"],
             "mesh_pos": trajectory["mesh_pos"],
-            "mask": np.asarray(node_type[:, 0] == NodeType.OBSTACLE),
+            "mask": np.asarray(
+                trajectory["node_type"][0][:, 0] == NodeType.OBSTACLE
+            ),
             "gt_pos": trajectory["world_pos"],
             "pred_pos": pred,
         }
@@ -296,10 +325,56 @@ class PlateModel(SystemModel):
     ) -> Tuple[Array, Array]:
         T = trajectory["cells"].shape[0] if num_timesteps is None else num_timesteps
         starts = np.arange(T - n_step)
-        init0 = {k: jnp.asarray(v[0]) for k, v in trajectory.items()}
-        node_type = init0["node_type"]
-        mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
-        static_frame = {"mesh_pos": init0["mesh_pos"], "node_type": node_type}
+        static = expansion.static if expansion is not None else None
+        cache_key = (
+            "n_step",
+            topo.senders.shape,
+            topo.num_nodes,
+            n_step,
+            len(starts),
+            id(expansion),
+            self._static_shapes(static),
+        )
+
+        def build():
+            def core(state, static_frame, cur0, tgt, gt, static):
+                node_type = static_frame["node_type"]
+                mask = jnp.equal(node_type[:, 0], NodeType.NORMAL)[:, None]
+
+                def one_window(cur_pos, targets, gt_win):
+                    def step(cur, target_pos):
+                        frame = {
+                            **static_frame,
+                            "world_pos": cur,
+                            "target|world_pos": target_pos,
+                        }
+                        graph, _, _ = self.make_graph(
+                            state, topo, frame, False, batched=False
+                        )
+                        if expansion is not None:
+                            graph, _ = expansion.expand(
+                                state, graph, frame, self,
+                                is_training=False, static=static,
+                            )
+                        prediction = self.update(
+                            state, frame, self.forward(state, graph)
+                        )
+                        next_pos = jnp.where(mask, prediction, target_pos)
+                        return next_pos, next_pos
+
+                    _, pred = jax.lax.scan(step, cur_pos, targets)
+                    return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
+
+                losses = jax.vmap(one_window)(cur0, tgt, gt)
+                return jnp.mean(losses), jnp.mean(losses[:, -1])
+
+            return core
+
+        fn = self._cached_jit(cache_key, build)
+        static_frame = {
+            "mesh_pos": jnp.asarray(trajectory["mesh_pos"][0]),
+            "node_type": jnp.asarray(trajectory["node_type"][0]),
+        }
         cur0 = jnp.asarray(trajectory["world_pos"][starts])
         tgt = jnp.stack(
             [trajectory["target|world_pos"][s : s + n_step + 1] for s in starts]
@@ -307,25 +382,4 @@ class PlateModel(SystemModel):
         gt = jnp.stack(
             [trajectory["world_pos"][s : s + n_step + 1] for s in starts]
         )
-
-        def one_window(cur_pos, targets, gt_win):
-            def step(cur, target_pos):
-                frame = {
-                    **static_frame,
-                    "world_pos": cur,
-                    "target|world_pos": target_pos,
-                }
-                graph, _, _ = self.make_graph(state, topo, frame, False, batched=False)
-                if expansion is not None:
-                    graph, _ = expansion.expand(
-                        state, graph, frame, self, is_training=False
-                    )
-                prediction = self.update(state, frame, self.forward(state, graph))
-                next_pos = jnp.where(mask, prediction, target_pos)
-                return next_pos, next_pos
-
-            _, pred = jax.lax.scan(step, cur_pos, targets)
-            return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
-
-        losses = jax.vmap(one_window)(cur0, jnp.asarray(tgt), jnp.asarray(gt))
-        return jnp.mean(losses), jnp.mean(losses[:, -1])
+        return fn(state, static_frame, cur0, jnp.asarray(tgt), jnp.asarray(gt), static)

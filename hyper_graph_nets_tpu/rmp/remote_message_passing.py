@@ -69,6 +69,11 @@ class RemoteMessagePassing:
     def connector(self):
         return self._connector
 
+    @property
+    def static(self):
+        """Current cached static incidence (None before prepare)."""
+        return self._static
+
     def initialize(self) -> list:
         return self._connector.initialize()
 

@@ -38,6 +38,11 @@ class CompositeExpansion:
     def prepare(self, model, frame: Dict[str, np.ndarray], topo) -> Tuple:
         return tuple(m.prepare(model, frame, topo) for m in self.members)
 
+    @property
+    def static(self) -> Tuple:
+        """Current member statics (for passing into cached jitted fns)."""
+        return tuple(m._static for m in self.members)
+
     def expand(
         self,
         state,
