@@ -198,8 +198,98 @@ def _torch_reference_throughput(num_edges_hint: int) -> float:
     return E / dt  # already batch-inclusive
 
 
+def _hgn_plate_throughput() -> dict:
+    """Secondary metric: HyperGraphNets deforming_plate training throughput.
+
+    BASELINE.json's stated target is HGN deforming_plate training at >=5x
+    edges/s/chip vs the reference: plate-scale quad mesh (~1.3k nodes) with
+    in-jit world edges, spectral clustering + hierarchical connector, 5 MP
+    steps (configs/plateCluster.yaml semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hyper_graph_nets_tpu.data import synthetic
+    from hyper_graph_nets_tpu.data.preprocessing import add_targets
+    from hyper_graph_nets_tpu.models.plate import PlateModel
+    from hyper_graph_nets_tpu.rmp.remote_message_passing import get_rmp
+    from hyper_graph_nets_tpu.training.trainer import Trainer
+
+    batch, mp = 16, 5
+    params = {
+        "task": {"dataset": "deforming_plate"},
+        "model": {
+            "field": "world_pos",
+            "history": False,
+            "size": 3,
+            "noise": 0.003,
+            "gamma": 0.9,
+            "aggregation": "pna",
+            "learning_rate": 1e-4,
+            "message_passing_steps": mp,
+            "compute_dtype": "bfloat16",
+            "scan_unroll": mp,
+            "max_world_edges": 1024,
+            "rmp": {
+                "clustering": "spectral",
+                "connector": "hyper",
+                "num_clusters": 16,
+                "hyper_noise": 0.005,
+                "hyper_node_features": True,
+                "frequency": 1,
+                "fully_connect": False,
+                "intra_cluster_sampling": {
+                    "enabled": False, "alpha": 0.1, "spotter_threshold": 0,
+                },
+            },
+            "graph_balancer": {"algorithm": "none"},
+        },
+    }
+    traj = add_targets(
+        synthetic.plate_trajectory(num_steps=batch + 2, nx=36, ny=36),
+        "world_pos",
+        history=False,
+    )
+    model = PlateModel(params)
+    topo = model.topology_from_trajectory(traj)
+    rmp = get_rmp(params)
+    static = rmp.prepare(model, {k: v[0] for k, v in traj.items()}, topo)
+    trainer = Trainer(model, params)
+    tstate = trainer.init_train_state(jax.random.PRNGKey(0))
+    step = trainer.make_train_step(topo, expansion=rmp)
+    frames = {k: jnp.asarray(v[:batch]) for k, v in traj.items() if k != "cells"}
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        tstate, loss = step(tstate, frames, k, static)
+    float(loss)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        tstate, loss = step(tstate, frames, k, static)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    # count mesh + world + remote edges consumed per step
+    num_edges = (
+        len(topo.senders)
+        + params["model"]["max_world_edges"]
+        + len(static.up_senders)
+        + len(static.down_senders)
+        + len(static.inter_senders)
+    )
+    return {
+        "hgn_plate_ms_per_step": round(dt * 1e3, 1),
+        "hgn_plate_edges_per_s": round(batch * num_edges / dt, 1),
+    }
+
+
 def main():
     result = _jax_throughput()
+    try:
+        hgn = _hgn_plate_throughput()
+    except Exception:
+        hgn = {}
 
     baseline = None
     if os.path.exists(CACHE):
@@ -226,6 +316,7 @@ def main():
         "num_edges": result["num_edges"],
         "device": result["device"],
         "baseline_torch_cpu_edges_per_s": round(baseline, 1) if baseline else None,
+        **hgn,
     }
     print(json.dumps(out))
 
