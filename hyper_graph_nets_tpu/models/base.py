@@ -51,6 +51,8 @@ class Topology(NamedTuple):
     mask: Optional[np.ndarray] = None  # [E] float or None
     gather_idx: Optional[np.ndarray] = None  # [N, d_max] int32 (fast aggregation)
     gather_valid: Optional[np.ndarray] = None  # [N, d_max] float
+    # model-specific static aux arrays (e.g. plate obstacle indices)
+    aux: Optional[dict] = None
 
     def edge_mask(self):
         return None if self.mask is None else jnp.asarray(self.mask)

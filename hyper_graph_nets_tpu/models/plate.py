@@ -97,6 +97,22 @@ class PlateModel(SystemModel):
     def build_topology(self, cells, num_nodes=None, deform: bool = True) -> Topology:
         return super().build_topology(cells, num_nodes=num_nodes, deform=True)
 
+    def topology_from_trajectory(self, trajectory) -> Topology:
+        """Plate topology also carries the static obstacle index list so the
+        world-edge radius query computes only [O, N] distances instead of
+        [N, N] (obstacle senders only — plate.py:85-110)."""
+        topo = super().topology_from_trajectory(trajectory)
+        node_type = np.asarray(trajectory["node_type"][0])[:, 0]
+        obstacle = np.nonzero(node_type == NodeType.OBSTACLE)[0].astype(np.int32)
+        cap = 1
+        while cap < max(len(obstacle), 1):
+            cap *= 2
+        idx = np.zeros(cap, np.int32)
+        valid = np.zeros(cap, np.float32)
+        idx[: len(obstacle)] = obstacle
+        valid[: len(obstacle)] = 1.0
+        return topo._replace(aux={"obstacle_idx": idx, "obstacle_valid": valid})
+
     # ------------------------------------------------------------------
     def _world_edges(
         self,
@@ -104,34 +120,63 @@ class PlateModel(SystemModel):
         node_type: Array,
         senders: Array,
         receivers: Array,
+        obstacle_idx: Optional[Array] = None,
+        obstacle_valid: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array]:
-        """Static-capacity world-edge extraction (jit-safe radius query)."""
-        n = world_pos.shape[0]
-        d2 = jnp.sum(
-            jnp.square(world_pos[:, None, :] - world_pos[None, :, :]), axis=-1
-        )
-        conn = d2 < WORLD_EDGE_RADIUS**2
-        conn = conn & ~jnp.eye(n, dtype=bool)
-        # drop pairs already connected by mesh edges
-        conn = conn.at[senders, receivers].set(False)
-        codes = node_type[:, 0]
-        obstacle = jnp.equal(codes, NodeType.OBSTACLE)
-        normal = jnp.equal(codes, NodeType.NORMAL)
-        conn = conn & obstacle[:, None] & normal[None, :]
+        """Static-capacity world-edge extraction (jit-safe radius query).
 
-        flat = conn.reshape(-1).astype(jnp.float32)
-        k = min(self.max_world_edges, n * n)
-        vals, idx = jax.lax.top_k(flat, k)
-        mask = vals > 0
-        ws = jnp.where(mask, idx // n, 0)
-        wr = jnp.where(mask, idx % n, 0)
+        With static obstacle indices (plate topologies) only the [O, N]
+        obstacle-to-all distance block is computed; obstacle and plate are
+        separate mesh components, so the mesh-edge dedup of the dense path
+        is vacuous there (reference plate.py:96-99).
+        """
+        n = world_pos.shape[0]
+        codes = node_type[:, 0]
+        normal = jnp.equal(codes, NodeType.NORMAL)
+
+        if obstacle_idx is not None:
+            obs_pos = jnp.take(world_pos, obstacle_idx, axis=0)  # [O, 3]
+            d2 = jnp.sum(
+                jnp.square(obs_pos[:, None, :] - world_pos[None, :, :]), axis=-1
+            )  # [O, N]
+            conn = d2 < WORLD_EDGE_RADIUS**2
+            conn = conn & (obstacle_valid[:, None] > 0) & normal[None, :]
+            o = obstacle_idx.shape[0]
+            flat = conn.reshape(-1).astype(jnp.float32)
+            k = min(self.max_world_edges, o * n)
+            vals, idx = jax.lax.top_k(flat, k)
+            mask = vals > 0
+            ws = jnp.where(mask, jnp.take(obstacle_idx, idx // n), 0)
+            wr = jnp.where(mask, idx % n, 0)
+        else:
+            d2 = jnp.sum(
+                jnp.square(world_pos[:, None, :] - world_pos[None, :, :]), axis=-1
+            )
+            conn = d2 < WORLD_EDGE_RADIUS**2
+            conn = conn & ~jnp.eye(n, dtype=bool)
+            # drop pairs already connected by mesh edges
+            conn = conn.at[senders, receivers].set(False)
+            obstacle = jnp.equal(codes, NodeType.OBSTACLE)
+            conn = conn & obstacle[:, None] & normal[None, :]
+            flat = conn.reshape(-1).astype(jnp.float32)
+            k = min(self.max_world_edges, n * n)
+            vals, idx = jax.lax.top_k(flat, k)
+            mask = vals > 0
+            ws = jnp.where(mask, idx // n, 0)
+            wr = jnp.where(mask, idx % n, 0)
+
         # sort by receiver (invalid entries pushed to the end)
         key = jnp.where(mask, wr * n + ws, n * n)
         order = jnp.argsort(key)
         return ws[order], wr[order], mask[order].astype(jnp.float32)
 
     def frame_features(
-        self, senders: Array, receivers: Array, frame: Dict[str, Array]
+        self,
+        senders: Array,
+        receivers: Array,
+        frame: Dict[str, Array],
+        obstacle_idx: Optional[Array] = None,
+        obstacle_valid: Optional[Array] = None,
     ) -> Dict[str, Array]:
         world_pos = frame["world_pos"]
         mesh_pos = frame["mesh_pos"]
@@ -151,7 +196,9 @@ class PlateModel(SystemModel):
             [norm_feature(rel_world), norm_feature(rel_mesh)], axis=-1
         )
 
-        ws, wr, wmask = self._world_edges(world_pos, node_type, senders, receivers)
+        ws, wr, wmask = self._world_edges(
+            world_pos, node_type, senders, receivers, obstacle_idx, obstacle_valid
+        )
         w_rel = jnp.take(world_pos, ws, 0) - jnp.take(world_pos, wr, 0)
         world_edge_features = norm_feature(w_rel) * wmask[:, None]
 
@@ -174,8 +221,23 @@ class PlateModel(SystemModel):
     ) -> Tuple[Graph, Dict[str, Array], ModelState]:
         senders = jnp.asarray(topo.senders)
         receivers = jnp.asarray(topo.receivers)
-        feat_fn = functools.partial(self.frame_features, senders, receivers)
-        raw = jax.vmap(feat_fn)(frames) if batched else feat_fn(frames)
+        aux = topo.aux or {}
+        feat_fn = functools.partial(
+            self.frame_features,
+            senders,
+            receivers,
+            obstacle_idx=(
+                None if "obstacle_idx" not in aux else jnp.asarray(aux["obstacle_idx"])
+            ),
+            obstacle_valid=(
+                None
+                if "obstacle_valid" not in aux
+                else jnp.asarray(aux["obstacle_valid"])
+            ),
+        )
+        raw = (
+            jax.vmap(lambda f: feat_fn(f))(frames) if batched else feat_fn(frames)
+        )
 
         node_valid = (frames["node_type"][..., 0] >= 0).astype(jnp.float32)
         node_feats, state = self._normalize(

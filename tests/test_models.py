@@ -220,3 +220,35 @@ class TestPlateModel:
         tgt = np.asarray(self.traj["target|world_pos"][:6])
         obs = np.asarray(self.traj["node_type"][0][:, 0]) == NodeType.OBSTACLE
         np.testing.assert_allclose(pred[:, obs], tgt[:, obs], atol=1e-6)
+
+    def test_obstacle_restricted_query_matches_dense(self):
+        """The [O, N] obstacle-row query equals the dense [N, N] query."""
+        frame = {k: jnp.asarray(v[0]) for k, v in self.traj.items()}
+        wp = np.asarray(frame["world_pos"]).copy()
+        nt = np.asarray(frame["node_type"])
+        obs = np.where(nt[:, 0] == NodeType.OBSTACLE)[0]
+        nrm = np.where(nt[:, 0] == NodeType.NORMAL)[0]
+        wp[obs[0]] = wp[nrm[0]] + 0.01
+        wp[obs[1]] = wp[nrm[3]] + 0.02
+        args = (
+            jnp.asarray(wp),
+            frame["node_type"],
+            jnp.asarray(self.topo.senders),
+            jnp.asarray(self.topo.receivers),
+        )
+        ws_d, wr_d, wm_d = self.model._world_edges(*args)
+        aux = self.topo.aux
+        ws_r, wr_r, wm_r = self.model._world_edges(
+            *args,
+            obstacle_idx=jnp.asarray(aux["obstacle_idx"]),
+            obstacle_valid=jnp.asarray(aux["obstacle_valid"]),
+        )
+        dense = set(
+            zip(np.asarray(ws_d)[np.asarray(wm_d) > 0].tolist(),
+                np.asarray(wr_d)[np.asarray(wm_d) > 0].tolist())
+        )
+        restricted = set(
+            zip(np.asarray(ws_r)[np.asarray(wm_r) > 0].tolist(),
+                np.asarray(wr_r)[np.asarray(wm_r) > 0].tolist())
+        )
+        assert dense == restricted and len(dense) >= 1
