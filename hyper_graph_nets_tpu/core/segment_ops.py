@@ -148,6 +148,59 @@ def aggregate(
     )
 
 
+def collective_aggregate(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    aggregation: str,
+    mask: Optional[Array] = None,
+    axis_name: str = "graph",
+) -> Array:
+    """Edge-parallel aggregation under shard_map: local partials + collectives.
+
+    Each device holds an edge shard and the full node row space; partial
+    sums combine with ``psum``, max/min with ``pmax``/``pmin`` — the explicit
+    halo-exchange pattern (SURVEY.md §7.8) whose collectives ride the ICI
+    mesh axis.  Equivalent to the global masked segment ops.
+    """
+    if mask is not None:
+        data_sum = data * mask[..., None]
+    else:
+        data_sum = data
+    total = jax.lax.psum(
+        jax.ops.segment_sum(data_sum, segment_ids, num_segments), axis_name
+    )
+    if aggregation == "sum":
+        return total
+    ones = jnp.ones(data.shape[:-1], dtype=data.dtype)
+    if mask is not None:
+        ones = ones * mask
+    counts = jax.lax.psum(
+        jax.ops.segment_sum(ones, segment_ids, num_segments), axis_name
+    )[..., None]
+    mean = total / jnp.maximum(counts, 1.0)
+    if aggregation == "mean":
+        return mean
+
+    d = data if mask is None else jnp.where(mask[..., None] > 0, data, _NEG_INF)
+    mx = jax.lax.pmax(
+        jax.ops.segment_max(d, segment_ids, num_segments), axis_name
+    )
+    mx = jnp.where(mx <= _NEG_INF / 2, 0.0, mx)
+    if aggregation == "max":
+        return mx
+    d = data if mask is None else jnp.where(mask[..., None] > 0, data, _POS_INF)
+    mn = jax.lax.pmin(
+        jax.ops.segment_min(d, segment_ids, num_segments), axis_name
+    )
+    mn = jnp.where(mn >= _POS_INF / 2, 0.0, mn)
+    if aggregation == "min":
+        return mn
+    if aggregation == "pna":
+        return jnp.concatenate([total, mean, mx, mn], axis=-1)
+    raise ValueError(f"invalid collective aggregation {aggregation!r}")
+
+
 def gather_aggregate(
     data: Array,
     gather_idx: Array,

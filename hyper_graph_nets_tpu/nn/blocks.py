@@ -76,6 +76,9 @@ class GNNConfig:
     repetitions: int = 2  # for 'repeated'
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
     scan_unroll: int = 1  # processor scan unroll factor (compile-time/perf knob)
+    # set under shard_map edge partitioning: aggregations combine local
+    # partials with psum/pmax/pmin over this mesh axis (parallel/halo.py)
+    axis_name: Optional[str] = None
 
     @property
     def edge_sets(self) -> Tuple[str, ...]:
@@ -198,11 +201,23 @@ def _aggregate_sets(
     num_total: int,
     cfg: GNNConfig,
 ) -> Array:
-    from hyper_graph_nets_tpu.core.segment_ops import gather_aggregate
+    from hyper_graph_nets_tpu.core.segment_ops import (
+        collective_aggregate,
+        gather_aggregate,
+    )
 
     parts = []
     for name in names:
         es = graph.edge_sets[name]
+        if cfg.axis_name is not None:
+            # shard_map edge partitioning: local partials + psum/pmax/pmin
+            parts.append(
+                collective_aggregate(
+                    edge_feats[name], es.receivers, num_total, cfg.aggregation,
+                    es.mask, cfg.axis_name,
+                )
+            )
+            continue
         if es.gather_idx is not None:
             # fast path: one gather over the static neighbor matrix feeds
             # all pna reductions (sum/mean/max/min) in a single pass

@@ -163,15 +163,23 @@ class MeshTask(AbstractTask):
             self.logger.log({"epoch": epoch, "epoch_time": time.time() - t0})
 
     def select_plotting(self, rollout_result: Dict, epoch: int) -> Optional[str]:
-        """Rollout GIF per dataset family (reference MeshTask.py:131-149)."""
+        """Rollout GIFs per dataset family (reference MeshTask.py:131-149);
+        renders up to ``validation.n_viz`` rollouts."""
         rollouts = rollout_result.get("rollouts", [])
         if not rollouts:
             return None
-        path = os.path.join(self.out_dir, f"rollout_epoch{epoch}.gif")
-        return animate_rollout(
-            rollouts[0], self.simulator.model.model_type, path,
-            stride=max(1, len(rollouts[0]["pred_pos" if "pred_pos" in rollouts[0] else "pred_velocity"]) // 20),
-        )
+        n_viz = self.valid_cfg.get("n_viz", 1)
+        first = None
+        for i, ops in enumerate(rollouts[: max(1, n_viz)]):
+            suffix = f"_{i}" if i else ""
+            path = os.path.join(self.out_dir, f"rollout_epoch{epoch}{suffix}.gif")
+            key = "pred_pos" if "pred_pos" in ops else "pred_velocity"
+            out = animate_rollout(
+                ops, self.simulator.model.model_type, path,
+                stride=max(1, len(ops[key]) // 20),
+            )
+            first = first or out
+        return first
 
     def get_scalars(self) -> Dict[str, float]:
         """Final test-split evaluation (reference MeshTask.py:114-129)."""

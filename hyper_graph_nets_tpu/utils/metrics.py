@@ -36,11 +36,23 @@ class MetricsLogger:
             try:
                 import wandb  # noqa: F401
 
+                # crash-resume: persist the run id next to the metrics so a
+                # restarted job continues the same W&B run (parity with the
+                # reference's resume re-upload, MeshSimulator.py:88-105;
+                # wandb's resume='allow' replays history server-side)
+                id_path = os.path.join(out_dir, ".wandb_run_id")
+                run_id = None
+                if os.path.exists(id_path):
+                    with open(id_path) as f:
+                        run_id = f.read().strip() or None
                 self._wandb = wandb
-                self._wandb.init(
+                run = self._wandb.init(
                     project="hyper-graph-nets-tpu", mode=mode, config=config,
-                    reinit=False,
+                    reinit=False, id=run_id, resume="allow",
                 )
+                if run is not None and getattr(run, "id", None):
+                    with open(id_path, "w") as f:
+                        f.write(run.id)
             except Exception:
                 self._wandb = None
 

@@ -103,6 +103,22 @@ class TestSharding:
                 np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-3
             )
 
+    def test_halo_forward_matches_single_device(self, setup):
+        """Explicit shard_map halo-exchange forward == plain forward."""
+        from hyper_graph_nets_tpu.parallel import halo
+
+        traj, model, topo, trainer, tstate = setup
+        mesh = sharding.make_mesh(data=1, graph=8)
+        stopo = sharding.shard_topology(topo, mesh)
+        frame = {k: jnp.asarray(v[0]) for k, v in traj.items() if k != "cells"}
+        graph, _, _ = model.make_graph(tstate.model, stopo, frame, False, batched=False)
+        fwd = halo.make_halo_forward(model, mesh)
+        out_halo = np.asarray(fwd(tstate.model.params, graph))
+
+        graph_u, _, _ = model.make_graph(tstate.model, topo, frame, False, batched=False)
+        out_ref = np.asarray(model.forward(tstate.model, graph_u))
+        np.testing.assert_allclose(out_halo, out_ref, rtol=1e-5, atol=1e-6)
+
     def test_data_only_mesh(self, setup):
         traj, model, topo, trainer, tstate = setup
         mesh = sharding.make_mesh(data=8, graph=1)

@@ -237,6 +237,46 @@ class TestExpansion:
         shapes2 = jax.tree.map(lambda x: np.shape(x), static2._asdict())
         assert shapes1 == shapes2
 
+    def test_cylinder_rmp_supported(self):
+        """Cylinder + RMP works here (the reference's _get_subgraph raises
+        for non-flag/plate model types — abstract_connector.py:95-100; our
+        connector splits at the true world_dim)."""
+        from hyper_graph_nets_tpu.models.cylinder import CylinderModel
+
+        crmp = {**RMP_BASE, "clustering": "kmeans", "connector": "hyper"}
+        cp = {
+            "task": {"dataset": "cylinder_flow"},
+            "model": {
+                "field": "velocity",
+                "history": False,
+                "size": 3,
+                "noise": 0.003,
+                "gamma": 0.9,
+                "aggregation": "pna",
+                "learning_rate": 1e-3,
+                "message_passing_steps": 2,
+                "rmp": crmp,
+                "graph_balancer": {"algorithm": "none"},
+            },
+        }
+        ctraj = add_targets(
+            synthetic.cylinder_trajectory(num_steps=10, nx=7, ny=5),
+            "velocity",
+            history=False,
+        )
+        cm = CylinderModel(cp)
+        ctopo = cm.topology_from_trajectory(ctraj)
+        crm = get_rmp(cp)
+        static = crm.prepare(cm, {k: v[0] for k, v in ctraj.items()}, ctopo)
+        trainer = Trainer(cm, cp)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(ctopo, expansion=crm)
+        frames = next(frames_to_batches(ctraj, 4))
+        ts, loss = step(ts, frames, jax.random.PRNGKey(1), static)
+        assert np.isfinite(float(loss))
+        # connector features: vel(2)+norm ++ mesh(2)+norm = 6
+        assert dict(cm.edge_in_dims())["inter_cluster"] == 6
+
     def test_plate_obstacles_excluded(self):
         prmp = {**RMP_BASE, "clustering": "kmeans", "connector": "hyper"}
         pp = {
