@@ -169,6 +169,7 @@ class SystemModel:
             hyper_in_dim=self.hyper_in_dim(),
             compute_dtype=self.compute_dtype,
             scan_unroll=self.params["model"].get("scan_unroll", 1),
+            remat=self.params["model"].get("remat", False),
         )
 
     def init_state(self, key: Array) -> ModelState:

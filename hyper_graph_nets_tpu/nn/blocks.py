@@ -79,6 +79,10 @@ class GNNConfig:
     # set under shard_map edge partitioning: aggregations combine local
     # partials with psum/pmax/pmin over this mesh axis (parallel/halo.py)
     axis_name: Optional[str] = None
+    # rematerialize each MP block in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for O(1) instead of O(mp_steps) activation
+    # memory — enables deep processors on large meshes
+    remat: bool = False
 
     @property
     def edge_sets(self) -> Tuple[str, ...]:

@@ -86,6 +86,8 @@ def processor_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
     def body(g, block_params):
         return block_apply(block_params, g, cfg), None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     graph, _ = jax.lax.scan(
         body, graph, params["processor"], unroll=cfg.scan_unroll
     )
