@@ -123,6 +123,52 @@ def unsorted_segment_operation(
     return _OPS[operation](data, segment_ids, num_segments, mask, indices_are_sorted)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def pna_gather(data: Array, gather_idx: Array, gather_valid: Array,
+               receivers: Array, edge_mask: Array) -> Array:
+    """pna aggregation over a static neighbor matrix with a gather-only VJP.
+
+    Forward equals ``gather_aggregate(..., 'pna')``.  The hand-written
+    backward routes node cotangents to edges with *gathers* indexed by
+    ``receivers`` (sum/mean: direct; max/min: equality-masked) instead of
+    the transposed scatter XLA AD would emit — measurably faster on TPU,
+    where scatter is the slow path.  ``edge_mask`` zeroes cotangents of
+    padded edges (all-ones when none).
+    """
+    return gather_aggregate(data, gather_idx, gather_valid, "pna")
+
+
+def _pna_gather_fwd(data, gather_idx, gather_valid, receivers, edge_mask):
+    out = gather_aggregate(data, gather_idx, gather_valid, "pna")
+    deg = jnp.maximum(jnp.sum(gather_valid, axis=-1), 1.0)
+    return out, (data, receivers, edge_mask, out, deg)
+
+
+def _pna_gather_bwd(res, g):
+    data, receivers, edge_mask, out, deg = res
+    F = data.shape[-1]
+    g_sum = g[..., :F]
+    g_mean = g[..., F : 2 * F]
+    g_max = g[..., 2 * F : 3 * F]
+    g_min = g[..., 3 * F :]
+    mx = out[..., 2 * F : 3 * F]
+    mn = out[..., 3 * F :]
+
+    take = lambda x: jnp.take(x, receivers, axis=-2)
+    inv_deg = (1.0 / deg)[..., None]
+    g_edge = take(g_sum) + take(g_mean * inv_deg)
+    g_edge = g_edge + jnp.where(data == take(mx), take(g_max), 0.0)
+    g_edge = g_edge + jnp.where(data == take(mn), take(g_min), 0.0)
+    g_edge = g_edge * edge_mask[..., None]
+    return (g_edge.astype(data.dtype), None, None, None, None)
+
+
+pna_gather.defvjp(_pna_gather_fwd, _pna_gather_bwd)
+
+
 def aggregate(
     data: Array,
     segment_ids: Array,

@@ -224,10 +224,13 @@ def _aggregate_sets(
             continue
         if es.gather_idx is not None:
             # fast path: one gather over the static neighbor matrix feeds
-            # all pna reductions (sum/mean/max/min) in a single pass
+            # all pna reductions (sum/mean/max/min) in a single pass.
+            # (A gather-only custom VJP exists — segment_ops.pna_gather —
+            # but measured slower than XLA's fused transposed scatter here.)
             parts.append(
                 gather_aggregate(
-                    edge_feats[name], es.gather_idx, es.gather_valid, cfg.aggregation
+                    edge_feats[name], es.gather_idx, es.gather_valid,
+                    cfg.aggregation,
                 )
             )
             continue
