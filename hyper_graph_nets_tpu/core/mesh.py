@@ -73,6 +73,13 @@ def receivers_to_gather(
     measured ~3x faster than four scatter passes for pna on TPU v5e.
     """
     receivers = np.asarray(receivers)
+    # native C fast path (hyper_graph_nets_tpu/native.py) when compiled
+    from hyper_graph_nets_tpu import native
+
+    out = native.csr_from_receivers(receivers, num_nodes, mask, min_degree)
+    if out is not None:
+        return out
+
     valid_edges = np.ones(len(receivers), bool) if mask is None else mask > 0
     counts = np.bincount(receivers[valid_edges], minlength=num_nodes)
     d_max = max(int(counts.max(initial=0)), 1)

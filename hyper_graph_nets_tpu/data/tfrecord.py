@@ -32,6 +32,13 @@ for _i in range(256):
 
 
 def crc32c(data: bytes) -> int:
+    # native slice-by-8 C implementation when compiled (~GB/s)
+    from hyper_graph_nets_tpu import native
+
+    out = native.crc32c(data)
+    if out is not None:
+        return out
+
     crc = np.uint32(0xFFFFFFFF)
     arr = np.frombuffer(data, np.uint8)
     table = _CRC_TABLE
