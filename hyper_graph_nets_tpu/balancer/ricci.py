@@ -184,11 +184,16 @@ def sdrf(
     added = {"senders": [], "receivers": []}
     removed = {"senders": [], "receivers": []}
 
+    @jax.jit
+    def _curvature_extrema(A):
+        """Device-side reduction: only scalars cross the host boundary."""
+        C = balanced_forman_curvature(A)
+        return C, jnp.argmin(C), jnp.argmax(C)
+
     for _ in range(loops):
         can_add = True
-        C = balanced_forman_curvature(A)
-        C_host = np.asarray(C)
-        ix_min = int(C_host.argmin())
+        C, ix_min_dev, ix_max_dev = _curvature_extrema(A)
+        ix_min = int(ix_min_dev)
         x, y = ix_min // num_nodes, ix_min % num_nodes
 
         x_nbrs = sorted(nbrs[x]) + [x]
@@ -210,9 +215,10 @@ def sdrf(
                 jnp.asarray(_pad_pow2(y_nbrs)),
             )
             D_host = np.asarray(D)
+            c_xy = float(C[x, y])
             improvements = np.array(
                 [
-                    D_host[x_nbrs.index(i), y_nbrs.index(j)] - C_host[x, y]
+                    D_host[x_nbrs.index(i), y_nbrs.index(j)] - c_xy
                     for (i, j) in candidates
                 ]
             )
@@ -228,9 +234,9 @@ def sdrf(
                 break
 
         if remove_edges:
-            ix_max = int(C_host.argmax())
+            ix_max = int(ix_max_dev)
             xr, yr = ix_max // num_nodes, ix_max % num_nodes
-            if C_host[xr, yr] > removal_bound and yr in nbrs[xr]:
+            if float(C[xr, yr]) > removal_bound and yr in nbrs[xr]:
                 nbrs[xr].discard(yr)
                 nbrs[yr].discard(xr)
                 removed["senders"].extend([xr, yr])

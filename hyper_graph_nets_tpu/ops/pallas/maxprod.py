@@ -22,20 +22,28 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 
 
+_SUB = 8  # rank-_SUB outer-product chunk per VPU max-accumulate step
+
+
 def _maxprod_kernel(x_ref, y_ref, out_ref):
-    """out[i,j] = max_k x[i,k] * y[k,j] for one (i,j) tile, looping k tiles."""
+    """out[i,j] = max_k x[i,k] * y[k,j] for one (i,j) tile, looping k tiles.
+
+    The inner rank-1 max-accumulates use *static* slices (the TPU Pallas
+    lowering has no dynamic_slice on values), grouped in chunks of _SUB
+    broadcast products reduced with jnp.max to keep VPU ops wide.
+    """
     k_tiles = x_ref.shape[1] // TILE
 
     def body(kt, acc):
         x = x_ref[:, pl.ds(kt * TILE, TILE)]  # [TILE, TILE]
         y = y_ref[pl.ds(kt * TILE, TILE), :]  # [TILE, TILE]
-
-        def inner(k, acc):
-            # max-accumulate rank-1 products: x[:, k] (x) y[k, :]
-            prod = x[:, k][:, None] * y[k, :][None, :]
-            return jnp.maximum(acc, prod)
-
-        return jax.lax.fori_loop(0, TILE, inner, acc)
+        for k0 in range(0, TILE, _SUB):  # static unroll over sub-chunks
+            # [TILE, _SUB, TILE] broadcast product, max over the k axis
+            # (reshape instead of None-indexing: Pallas TPU gather rules)
+            xs = x[:, k0 : k0 + _SUB].reshape(TILE, _SUB, 1)
+            ys = y[k0 : k0 + _SUB, :].reshape(1, _SUB, TILE)
+            acc = jnp.maximum(acc, jnp.max(xs * ys, axis=1))
+        return acc
 
     acc0 = jnp.full((TILE, TILE), -jnp.inf, jnp.float32)
     out_ref[:, :] = jax.lax.fori_loop(0, k_tiles, body, acc0)
