@@ -66,12 +66,37 @@ class RMPStatic(NamedTuple):
     member_valid: np.ndarray  # [K, m_max]
 
 
+def _delaunay_pairs(centers: np.ndarray) -> list:
+    """Inter-cluster pairs from a Delaunay triangulation of cluster centers.
+
+    Parity with the reference's (unwired) ``_delaunay`` alternative
+    (hierarchical_connector.py:190-198): triangulate the first two mesh
+    coordinates of the cluster means and take triangle edges.
+    """
+    import scipy.spatial as ss
+
+    from hyper_graph_nets_tpu.core.mesh import cells_to_edges
+
+    if len(centers) < 3:
+        return [(a, b) for a in range(len(centers)) for b in range(len(centers)) if a != b]
+    tri = ss.Delaunay(centers[:, :2])
+    edges = cells_to_edges(tri.simplices.astype(np.int32))
+    return list(zip(edges.unique_senders.tolist(), edges.unique_receivers.tolist()))
+
+
 def build_static(
     clustering: Clustering,
     num_nodes: int,
     fully_connect: bool = False,
+    inter_mode: str = "neighbors",
+    cluster_centers: "np.ndarray | None" = None,
 ) -> RMPStatic:
-    """Host stage: clustering -> static incidence arrays."""
+    """Host stage: clustering -> static incidence arrays.
+
+    ``inter_mode``: 'neighbors' (cross-cluster mesh adjacency — the
+    reference's live path), or 'delaunay' (triangulated cluster centers —
+    the reference's alternative, hierarchical_connector.py:190-198).
+    """
     K = clustering.num_clusters
     labels = np.zeros(num_nodes, np.int32)
     member_mask = np.zeros(num_nodes, np.float32)
@@ -114,6 +139,11 @@ def build_static(
     inter_m = np.zeros(P, np.float32)
     if fully_connect or K < 4:
         pairs = [(a, b) for a in range(K) for b in range(K) if a != b]
+    elif inter_mode == "delaunay" and cluster_centers is not None:
+        pairs = []
+        for a, b in _delaunay_pairs(cluster_centers):
+            pairs.append((a, b))
+            pairs.append((b, a))
     else:
         pairs = []
         for a, b in clustering.neighbors:
@@ -200,10 +230,12 @@ class HierarchicalConnector:
         fully_connect: bool = False,
         noise_scale: Optional[float] = None,
         hyper_node_features: bool = True,
+        inter_mode: str = "neighbors",
     ):
         self.fully_connect = fully_connect
         self.noise_scale = None if noise_scale in (None, "none") else noise_scale
         self.hyper_node_features = hyper_node_features
+        self.inter_mode = inter_mode
 
     def initialize(self) -> list:
         """Edge-set names this connector registers (reference :22-25)."""
@@ -437,10 +469,11 @@ def get_connector(name: str, rmp_config: dict):
     fully_connect = rmp_config.get("fully_connect", False)
     noise = rmp_config.get("hyper_noise")
     hnf = rmp_config.get("hyper_node_features", True)
+    inter_mode = rmp_config.get("inter_mode", "neighbors")
     if name in ("hyper", "hetero", "multiscale"):
-        return HierarchicalConnector(fully_connect, noise, hnf)
+        return HierarchicalConnector(fully_connect, noise, hnf, inter_mode)
     if name == "multi":
-        return MultigraphConnector(fully_connect, noise, hnf)
+        return MultigraphConnector(fully_connect, noise, hnf, inter_mode)
     if name in ("none", "repeated"):
         return None
     raise NotImplementedError(f"unknown connector {name!r}")

@@ -92,8 +92,23 @@ class RemoteMessagePassing:
         else:
             clustering = self._clustering.run(host)
         self._last_clustering = clustering
+        inter_mode = getattr(self._connector, "inter_mode", "neighbors")
+        centers = None
+        if inter_mode == "delaunay":
+            centers = np.stack(
+                [
+                    host.mesh_features[c].mean(axis=0)
+                    if len(c)
+                    else np.zeros(host.mesh_features.shape[1])
+                    for c in clustering.clusters
+                ]
+            )
         static = build_static(
-            clustering, topo.num_nodes, fully_connect=self._connector.fully_connect
+            clustering,
+            topo.num_nodes,
+            fully_connect=self._connector.fully_connect,
+            inter_mode=inter_mode,
+            cluster_centers=centers,
         )
         self._static = self._pad_static(static)
         return self._static
