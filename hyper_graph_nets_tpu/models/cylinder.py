@@ -39,6 +39,9 @@ class CylinderModel(SystemModel):
     def geometry(self, frames):
         return frames["velocity"], frames["mesh_pos"]
 
+    def carry_to_frame(self, carry):
+        return {"velocity": carry[0], "pressure": carry[1]}
+
     def mesh_edge_features(self, frames, senders: Array, receivers: Array) -> Array:
         mesh = frames["mesh_pos"]
         rel = jnp.take(mesh, senders, axis=-2) - jnp.take(mesh, receivers, axis=-2)
@@ -177,6 +180,8 @@ class CylinderModel(SystemModel):
         trajectory: Dict[str, np.ndarray],
         num_steps: Optional[int] = None,
         expansion=None,
+        start_carry=None,
+        return_carry: bool = False,
     ) -> Tuple[Dict[str, Array], Array]:
         T = trajectory["cells"].shape[0]
         num_steps = T if num_steps is None else min(num_steps, T)
@@ -218,11 +223,11 @@ class CylinderModel(SystemModel):
                     return (next_v, pred_p), (next_v, pred_p)
 
                 carry = (init["velocity"], init["pressure"])
-                _, (pred_v, pred_p) = jax.lax.scan(
+                carry, (pred_v, pred_p) = jax.lax.scan(
                     step, carry, None, length=num_steps
                 )
                 mse = jnp.mean(jnp.square(gt - pred_v), axis=(-2, -1))
-                return pred_v, pred_p, mse
+                return pred_v, pred_p, mse, carry
 
             return core
 
@@ -230,8 +235,14 @@ class CylinderModel(SystemModel):
         init = {
             k: jnp.asarray(v[0]) for k, v in trajectory.items() if k != "cells"
         }
+        if start_carry is not None:
+            init = {
+                **init,
+                "velocity": start_carry[0],
+                "pressure": start_carry[1],
+            }
         gt = jnp.asarray(trajectory["velocity"][:num_steps])
-        pred_v, pred_p, mse = fn(state, init, gt, static)
+        pred_v, pred_p, mse, carry = fn(state, init, gt, static)
         traj_ops = {
             "faces": trajectory["cells"],
             "mesh_pos": trajectory["mesh_pos"],
@@ -240,6 +251,8 @@ class CylinderModel(SystemModel):
             "pred_velocity": pred_v,
             "pred_pressure": pred_p,
         }
+        if return_carry:
+            return traj_ops, mse, carry
         return traj_ops, mse
 
     def n_step_computation(

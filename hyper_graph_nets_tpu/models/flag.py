@@ -47,6 +47,10 @@ class FlagModel(SystemModel):
     def geometry(self, frames):
         return frames["world_pos"], frames["mesh_pos"]
 
+    def carry_to_frame(self, carry):
+        """Rollout carry -> frame fields (segmented rollouts)."""
+        return {"prev|world_pos": carry[0], "world_pos": carry[1]}
+
     def mesh_edge_features(self, frames, senders: Array, receivers: Array) -> Array:
         """Mesh-edge featurization for arbitrary (snd, rcv) pairs (balancer)."""
         world, mesh = self.geometry(frames)
@@ -237,8 +241,14 @@ class FlagModel(SystemModel):
         trajectory: Dict[str, np.ndarray],
         num_steps: Optional[int] = None,
         expansion=None,
+        start_carry=None,
+        return_carry: bool = False,
     ) -> Tuple[Dict[str, Array], Array]:
         """Recursive rollout via lax.scan (reference flag.py:194-246).
+
+        ``start_carry``/``return_carry`` support segmented rollouts with
+        mid-rollout reclustering (simulator.rollout_evaluator at
+        rmp frequency > 1): the carry is (prev_pos, cur_pos).
 
         Returns (traj_ops, per-step MSE). Boundary (non-NORMAL) nodes hold
         their positions, matching ``torch.where(mask, pred, cur)``.
@@ -286,9 +296,9 @@ class FlagModel(SystemModel):
                     return (cur_pos, next_pos), cur_pos
 
                 carry = (init["prev|world_pos"], init["world_pos"])
-                _, pred = jax.lax.scan(step, carry, None, length=num_steps)
+                carry, pred = jax.lax.scan(step, carry, None, length=num_steps)
                 mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
-                return pred, mse
+                return pred, mse, carry
 
             return core
 
@@ -296,14 +306,22 @@ class FlagModel(SystemModel):
         init = {
             k: jnp.asarray(v[0]) for k, v in trajectory.items() if k != "cells"
         }
+        if start_carry is not None:
+            init = {
+                **init,
+                "prev|world_pos": start_carry[0],
+                "world_pos": start_carry[1],
+            }
         gt = jnp.asarray(trajectory["world_pos"][:num_steps])
-        pred, mse = fn(state, init, gt, static)
+        pred, mse, carry = fn(state, init, gt, static)
         traj_ops = {
             "faces": trajectory["cells"],
             "mesh_pos": trajectory["mesh_pos"],
             "gt_pos": trajectory["world_pos"],
             "pred_pos": pred,
         }
+        if return_carry:
+            return traj_ops, mse, carry
         return traj_ops, mse
 
     def n_step_computation(

@@ -52,6 +52,9 @@ class PlateModel(SystemModel):
     def geometry(self, frames):
         return frames["world_pos"], frames["mesh_pos"]
 
+    def carry_to_frame(self, carry):
+        return {"world_pos": carry}
+
     def mesh_edge_features(self, frames, senders: Array, receivers: Array) -> Array:
         world, mesh = self.geometry(frames)
         rel_w = jnp.take(world, senders, axis=-2) - jnp.take(world, receivers, axis=-2)
@@ -309,6 +312,8 @@ class PlateModel(SystemModel):
         trajectory: Dict[str, np.ndarray],
         num_steps: Optional[int] = None,
         expansion=None,
+        start_carry=None,
+        return_carry: bool = False,
     ) -> Tuple[Dict[str, Array], Array]:
         T = trajectory["cells"].shape[0]
         num_steps = T if num_steps is None else min(num_steps, T)
@@ -352,9 +357,9 @@ class PlateModel(SystemModel):
                     next_pos = jnp.where(mask, prediction, target_pos)
                     return next_pos, next_pos
 
-                _, pred = jax.lax.scan(step, init["world_pos"], targets)
+                carry, pred = jax.lax.scan(step, init["world_pos"], targets)
                 mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
-                return pred, mse
+                return pred, mse, carry
 
             return core
 
@@ -362,9 +367,11 @@ class PlateModel(SystemModel):
         init = {
             k: jnp.asarray(v[0]) for k, v in trajectory.items() if k != "cells"
         }
+        if start_carry is not None:
+            init = {**init, "world_pos": start_carry}
         targets = jnp.asarray(trajectory["target|world_pos"][:num_steps])
         gt = jnp.asarray(trajectory["world_pos"][:num_steps])
-        pred, mse = fn(state, init, targets, gt, static)
+        pred, mse, carry = fn(state, init, targets, gt, static)
         traj_ops = {
             "faces": trajectory["cells"],
             "mesh_pos": trajectory["mesh_pos"],
@@ -374,6 +381,8 @@ class PlateModel(SystemModel):
             "gt_pos": trajectory["world_pos"],
             "pred_pos": pred,
         }
+        if return_carry:
+            return traj_ops, mse, carry
         return traj_ops, mse
 
     def n_step_computation(

@@ -235,14 +235,18 @@ class MeshSimulator:
                 break
             traj = self._prepare(traj)
             topo = self._topology(traj)
-            if self.expansion is not None:
-                self.expansion.reset(0, traj["cells"].shape[0])
-                frame0 = {k: v[0] for k, v in traj.items()}
-                self.expansion.prepare(self.model, frame0, topo)
-            ops, mse = self.model.rollout(
-                tstate.model, topo, traj, num_steps=num_steps,
-                expansion=self.expansion,
-            )
+            freqs = self.expansion.frequencies if self.expansion else []
+            if any(f > 1 for f in freqs):
+                ops, mse = self._segmented_rollout(tstate, traj, topo, num_steps)
+            else:
+                if self.expansion is not None:
+                    self.expansion.reset(0, traj["cells"].shape[0])
+                    frame0 = {k: v[0] for k, v in traj.items()}
+                    self.expansion.prepare(self.model, frame0, topo)
+                ops, mse = self.model.rollout(
+                    tstate.model, topo, traj, num_steps=num_steps,
+                    expansion=self.expansion,
+                )
             all_mse.append(np.asarray(mse))
             rollouts.append({k: np.asarray(v) for k, v in ops.items()})
         mean_curve = np.mean(np.stack(all_mse), axis=0) if all_mse else np.zeros(0)
@@ -264,6 +268,59 @@ class MeshSimulator:
                 ["step", "mse"],
             )
         return result
+
+    def _segmented_rollout(self, tstate, traj, topo, num_steps):
+        """Rollout with mid-rollout reclustering (expansion frequency > 1).
+
+        The reference reclusters during rollouts at the reset cadence using
+        the *predicted* state (reference flag.py:229-246 with reset in
+        expand_graph).  The scan splits at reset boundaries; between
+        segments the carried predicted state goes to host, the expansion
+        reclusters on it, and the next segment resumes from the carry.
+        """
+        T = traj["cells"].shape[0]
+        T = T if num_steps is None else min(num_steps, T)
+        boundaries = sorted(
+            {
+                i
+                for f in self.expansion.frequencies
+                for i in range(T)
+                if reset_due(i, T, f)
+            }
+        ) or [0]
+        preds, mses = [], []
+        carry = None
+        ops = None
+        for bi, s0 in enumerate(boundaries):
+            s1 = boundaries[bi + 1] if bi + 1 < len(boundaries) else T
+            sub = {k: v[s0:s1] for k, v in traj.items()}
+            # recluster on the current (predicted) state
+            frame0 = {k: np.asarray(v[0]) for k, v in sub.items()}
+            if carry is not None:
+                frame0.update(
+                    {
+                        k: np.asarray(v)
+                        for k, v in self.model.carry_to_frame(carry).items()
+                    }
+                )
+            self.expansion.reset(s0, T)
+            self.expansion.prepare(self.model, frame0, topo)
+            ops, mse, carry = self.model.rollout(
+                tstate.model, topo, sub, num_steps=s1 - s0,
+                expansion=self.expansion, start_carry=carry, return_carry=True,
+            )
+            preds.append(
+                np.asarray(ops["pred_pos" if "pred_pos" in ops else "pred_velocity"])
+            )
+            mses.append(np.asarray(mse))
+        pred = np.concatenate(preds, axis=0)
+        ops = dict(ops)
+        ops["pred_pos" if "pred_pos" in ops else "pred_velocity"] = pred
+        ops["mesh_pos"] = traj["mesh_pos"]
+        ops["faces"] = traj["cells"]
+        gt_key = "gt_pos" if "gt_pos" in ops else "gt_velocity"
+        ops[gt_key] = traj["world_pos" if gt_key == "gt_pos" else "velocity"][:T]
+        return ops, np.concatenate(mses)
 
     def n_step_evaluator(
         self,
