@@ -270,11 +270,12 @@ class SpectralClustering(ClusteringAlgorithm):
 class HDBSCANClustering(ClusteringAlgorithm):
     """HDBSCAN with variable cluster count (reference hdbscan.py:13-105).
 
-    Uses sklearn.cluster.HDBSCAN.  The reference's condensed-tree exemplars
-    and soft-membership spotters (hdbscan lib internals) are approximated
-    with medoid-distance equivalents: exemplars = points closest to the
-    cluster medoid; spotters = points whose top-two cluster-distance ratio
-    exceeds the threshold.
+    Uses the in-repo condensed-tree implementation
+    (rmp/hdbscan_tree.py — validated against sklearn.cluster.HDBSCAN):
+    exemplars are the leaf-cluster points at maximal lambda, exactly the
+    reference's condensed-tree walk (reference hdbscan.py:73-88); spotters
+    use exemplar-distance membership vectors with the reference's
+    top-two-probability-gap metric (reference hdbscan.py:90-100).
     """
 
     def __init__(
@@ -299,37 +300,33 @@ class HDBSCANClustering(ClusteringAlgorithm):
         return StandardScaler().fit_transform(graph.target_feature)
 
     def _cluster(self, graph: HostGraph) -> np.ndarray:
-        from sklearn.cluster import HDBSCAN
+        return self._fit(graph).labels
 
-        X = self._standardize(graph)
-        kw = dict(
+    def _fit(self, graph: HostGraph):
+        from hyper_graph_nets_tpu.rmp.hdbscan_tree import hdbscan_fit
+
+        return hdbscan_fit(
+            self._standardize(graph),
             min_cluster_size=self.min_cluster_size,
             min_samples=self.min_samples,
+            max_cluster_size=self.max_cluster_size,
         )
-        try:
-            clu = HDBSCAN(max_cluster_size=self.max_cluster_size, **kw).fit(X)
-        except TypeError:  # older sklearn without max_cluster_size
-            clu = HDBSCAN(**kw).fit(X)
-        return clu.labels_
 
     def run(self, graph: HostGraph) -> Clustering:
-        labels = np.asarray(self._cluster(graph))
+        result = self._fit(graph)
+        labels = np.asarray(result.labels)
         self.num_clusters = int(labels.max()) + 1 if (labels >= 0).any() else 0
         if self.num_clusters == 0:
             # degenerate: everything noise -> single cluster of all nodes
             labels = np.zeros(len(labels), int)
             self.num_clusters = 1
+            result = result._replace(exemplars=[list(range(len(labels)))])
         neighbors = get_neighbors(graph, labels)
-        if not self.sampling or self.num_clusters == 0:
+        if not self.sampling:
             clusters = _labels_to_indices(list(labels))
         else:
-            X = self._standardize(graph)
-            medoids = np.stack(
-                [X[labels == c].mean(axis=0) for c in range(self.num_clusters)]
-            )
-            d = np.linalg.norm(X[:, None, :] - medoids[None], axis=-1)  # [N, K]
-            spotter = self._soft_spotter(labels, d)
-            exemplars = self._medoid_exemplars(labels, d)
+            spotter = self._soft_spotter(graph, labels, result.exemplars)
+            exemplars = [list(e) for e in result.exemplars]
             top_k = self.highest_dynamics(graph, labels)
             clusters = [
                 np.asarray(sorted(set(s) | set(e) | set(t)), np.int64)
@@ -342,11 +339,28 @@ class HDBSCANClustering(ClusteringAlgorithm):
             num_clusters=self.num_clusters,
         )
 
-    def _soft_spotter(self, labels: np.ndarray, d: np.ndarray) -> List[List[int]]:
-        """Boundary metric 1 - (p1-p2)/(p1+p2) on inverse distances."""
+    def _soft_spotter(
+        self, graph: HostGraph, labels: np.ndarray, exemplars: List[List[int]]
+    ) -> List[List[int]]:
+        """Boundary metric 1 - (p1-p2)/(p1+p2) on exemplar-distance
+        memberships (the distance component of hdbscan's
+        all_points_membership_vectors; reference hdbscan.py:90-100)."""
         out: List[List[int]] = [[] for _ in range(self.num_clusters)]
-        if d.shape[1] < 2:
+        if self.num_clusters < 2:
             return out
+        X = self._standardize(graph)
+        d = np.stack(
+            [
+                np.min(
+                    np.linalg.norm(X[:, None, :] - X[ex][None, :, :], axis=-1),
+                    axis=1,
+                )
+                if ex
+                else np.full(len(X), np.inf)
+                for ex in exemplars
+            ],
+            axis=1,
+        )  # [N, K] distance to nearest exemplar per cluster
         probs = 1.0 / (d + 1e-9)
         order = np.argsort(-probs, axis=1)
         p1 = probs[np.arange(len(d)), order[:, 0]]
@@ -354,17 +368,6 @@ class HDBSCANClustering(ClusteringAlgorithm):
         metric = 1.0 - (p1 - p2) / (p1 + p2)
         for i in np.nonzero(metric > self.spotter_threshold)[0]:
             out[order[i, 0]].append(int(i))
-        return out
-
-    def _medoid_exemplars(self, labels: np.ndarray, d: np.ndarray) -> List[List[int]]:
-        out: List[List[int]] = [[] for _ in range(self.num_clusters)]
-        for c in range(self.num_clusters):
-            members = np.nonzero(labels == c)[0]
-            if len(members) == 0:
-                continue
-            k = max(1, int(len(members) * 0.1))
-            best = members[np.argsort(d[members, c])[:k]]
-            out[c] = [int(x) for x in best]
         return out
 
 

@@ -100,6 +100,9 @@ def build_static(
     K = clustering.num_clusters
     labels = np.zeros(num_nodes, np.int32)
     member_mask = np.zeros(num_nodes, np.float32)
+    # NB sampled clusters may overlap (spotters join boundary nodes to both
+    # sides of a cross-cluster edge, reference behavior); the static
+    # incidence is one-cluster-per-node, so the last listed cluster wins.
     for c, members in enumerate(clustering.clusters):
         labels[members] = c
         member_mask[members] = 1.0
