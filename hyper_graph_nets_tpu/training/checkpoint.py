@@ -35,9 +35,16 @@ def checkpoint_name(config: dict, epoch: int) -> str:
     )
 
 
+def _backend(config: dict) -> str:
+    params = config.get("params", config)
+    return params.get("logging", {}).get("checkpoint_backend", "pickle")
+
+
 def save(directory: str, config: dict, tstate: Any, epoch: int, extra: Optional[dict] = None) -> str:
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, checkpoint_name(config, epoch))
+    if _backend(config) == "orbax":
+        return _orbax_save(path, tstate, epoch, extra)
     payload = {
         "tstate": jax.tree.map(lambda x: np.asarray(x), tstate),
         "epoch": epoch,
@@ -50,11 +57,62 @@ def save(directory: str, config: dict, tstate: Any, epoch: int, extra: Optional[
     return path
 
 
-def load(path: str) -> Tuple[Any, int, dict]:
+def load(path: str, template: Any = None) -> Tuple[Any, int, dict]:
+    if os.path.isdir(path):  # orbax checkpoints are directories
+        return _orbax_load(path, template)
     with open(path, "rb") as f:
         payload = pickle.load(f)
     tstate = jax.tree.map(lambda x: jax.numpy.asarray(x), payload["tstate"])
     return tstate, payload["epoch"], payload.get("extra", {})
+
+
+# -- orbax backend (production checkpointing: async-capable, multi-host,
+#    per-array storage; config: logging.checkpoint_backend: orbax) ---------
+
+
+def _orbax_save(path: str, tstate: Any, epoch: int, extra: Optional[dict]) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "tstate": jax.tree.map(np.asarray, tstate),
+                "meta": {"epoch": np.asarray(epoch, np.int64)},
+            },
+            force=True,
+        )
+    if extra:
+        import json
+
+        with open(os.path.join(path, "extra.json"), "w") as f:
+            json.dump(extra, f, default=str)
+    return path
+
+
+def _orbax_load(path: str, template: Any = None) -> Tuple[Any, int, dict]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        target = None
+        if template is not None:
+            target = {
+                "tstate": jax.tree.map(np.asarray, template),
+                "meta": {"epoch": np.asarray(0, np.int64)},
+            }
+        payload = ckptr.restore(path, target)
+    tstate = jax.tree.map(jax.numpy.asarray, payload["tstate"])
+    epoch = int(np.asarray(payload["meta"]["epoch"]))
+    extra = {}
+    extra_path = os.path.join(path, "extra.json")
+    if os.path.exists(extra_path):
+        import json
+
+        with open(extra_path) as f:
+            extra = json.load(f)
+    return tstate, epoch, extra
 
 
 def latest(directory: str, config: dict) -> Optional[Tuple[str, int]]:

@@ -61,7 +61,9 @@ class MeshTask(AbstractTask):
             found = checkpoint.latest(out_dir, config)
             if found is not None:
                 path, epoch = found
-                self.tstate, epoch, _ = checkpoint.load(path)
+                self.tstate, epoch, _ = checkpoint.load(
+                    path, template=self.tstate
+                )
                 self.start_epoch = epoch
                 self.logger.log({"resumed_from_epoch": epoch}, commit=False)
 

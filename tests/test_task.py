@@ -94,6 +94,23 @@ class TestCheckpoint:
         for a, b in zip(orig, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_orbax_backend_roundtrip(self, tmp_path):
+        cfg = minimal_config()
+        cfg["params"]["logging"]["checkpoint_backend"] = "orbax"
+        from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+
+        sim = MeshSimulator(cfg, out_dir=str(tmp_path / "out"))
+        ts = sim.initialize()
+        path = checkpoint.save(str(tmp_path / "out"), cfg, ts, epoch=2)
+        assert __import__("os").path.isdir(path)  # orbax = directory format
+        loaded, epoch, _ = checkpoint.load(path, template=ts)
+        assert epoch == 2
+        for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # latest() finds orbax checkpoints too
+        found = checkpoint.latest(str(tmp_path / "out"), cfg)
+        assert found is not None and found[1] == 2
+
     def test_latest_picks_newest(self, tmp_path):
         cfg = minimal_config()
         from hyper_graph_nets_tpu.training.simulator import MeshSimulator
