@@ -74,6 +74,16 @@ def get_data(
             params, ["task", "synthetic"], default_return={}
         ) or {}
         _ensure_synthetic(dataset, in_dir, overrides)
+    loader_kind = get_from_nested_dict(
+        params, ["task", "loader"], default_return="python"
+    )
+    if loader_kind == "tfdata":
+        from hyper_graph_nets_tpu.data.tf_loader import TFDataSource
+
+        source = TFDataSource(
+            params["model"], split=split, in_dir=in_dir, add_targets_b=add_targets
+        )
+        return GraphDataLoader(source, prefetch=0)  # tf.data prefetches itself
     pp = Preprocessing(
         params["model"], split=split, in_dir=in_dir, add_targets_b=add_targets
     )

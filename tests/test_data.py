@@ -95,6 +95,26 @@ class TestLoader:
         assert meta["features"]["world_pos"]["type"] == "dynamic"
         assert meta["features"]["cells"]["type"] == "static"
 
+    def test_tfdata_loader_matches_python_loader(self, tmp_path):
+        pytest.importorskip("tensorflow")
+        config = {
+            "params": {
+                "task": {
+                    "dataset": "flag_minimal",
+                    "synthetic": {"trajectories": 2, "num_steps": 8, "nx": 4, "ny": 4},
+                },
+                "model": {"field": "world_pos", "history": True},
+            }
+        }
+        py = get_data(config, "valid", data_dir=str(tmp_path)).take(2)
+        config["params"]["task"]["loader"] = "tfdata"
+        tfd = get_data(config, "valid", data_dir=str(tmp_path)).take(2)
+        assert len(py) == len(tfd)
+        for a, b in zip(py, tfd):
+            assert set(a.keys()) == set(b.keys())
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key])
+
     def test_restartable_iteration(self, tmp_path):
         config = {
             "params": {
