@@ -19,6 +19,15 @@ def read_yaml(config_name: str, config_dir: Optional[str] = None) -> dict:
     path = config_name
     if not os.path.isfile(path):
         path = os.path.join(config_dir or CONFIG_DIR, f"{config_name}.yaml")
+    if not os.path.isfile(path):
+        available = sorted(
+            f[:-5]
+            for f in os.listdir(config_dir or CONFIG_DIR)
+            if f.endswith(".yaml")
+        )
+        raise FileNotFoundError(
+            f"unknown config {config_name!r}; available: {', '.join(available)}"
+        )
     with open(path, "r") as stream:
         for doc in yaml.safe_load_all(stream):
             if doc and doc.get("name") == "DEFAULT":
