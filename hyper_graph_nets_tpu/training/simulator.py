@@ -61,6 +61,9 @@ class MeshSimulator:
         self._step_cache: Dict[Tuple, Any] = {}
         self._val_cache: Dict[Tuple, Any] = {}
         self._key = jax.random.PRNGKey(params.get("random_seed", 0))
+        # within-trajectory batch-order shuffle (reference MeshSimulator.py:138
+        # random.shuffle(batches)); seeded for reproducibility
+        self._shuffle_rng = np.random.RandomState(params.get("random_seed", 0))
         # cross-trajectory bucketing capacity (data/bucketing.py); None until
         # set_capacity is called for variable-size datasets
         self.capacity: Optional[Tuple[int, int]] = None
@@ -121,15 +124,28 @@ class MeshSimulator:
         trajectory: Dict[str, np.ndarray],
         epoch: int = 0,
     ) -> Tuple[TrainState, List[float]]:
-        """Train over one trajectory in frame batches (reference :113-156)."""
+        """Train over one trajectory in frame batches (reference :113-156).
+
+        Batches are prepared in temporal order (the expansion reset cadence is
+        a function of the frame index, reference flag.py:130-141) and then the
+        *batch order* is shuffled, matching the reference's
+        ``random.shuffle(batches)`` after ``fetch_data`` (MeshSimulator.py:138).
+
+        Losses stay on device for the whole trajectory; one transfer at the
+        end fetches them all, so the host never serializes against the chip
+        between batches.  "training time per instance" is therefore dispatch
+        time, not device time — the per-trajectory wall time (measured after a
+        block_until_ready) is the accurate throughput signal.
+        """
         trajectory = self._prepare(trajectory)
         topo = self._topology(trajectory)
         step = self._train_step_fn(topo)
         T = trajectory["cells"].shape[0]
         num_steps = min(T, self.time_steps or T)
-        losses: List[float] = []
         start_traj = time.time()
 
+        # temporal-order pass: expansion cadence + per-batch static structures
+        jobs: List[Tuple[int, int, Any]] = []
         for start in range(0, num_steps, self.batch_size):
             end = min(start + self.batch_size, num_steps)
             static = None
@@ -142,6 +158,12 @@ class MeshSimulator:
                         break
                 frame0 = {k: v[start] for k, v in trajectory.items()}
                 static = self.expansion.prepare(self.model, frame0, topo)
+            jobs.append((start, end, static))
+        self._shuffle_rng.shuffle(jobs)
+
+        device_losses: List[Any] = []
+        dispatch_times: List[float] = []
+        for start, end, static in jobs:
             # cells never reach the device (topology is pre-extracted); with
             # bucketing their per-trajectory shapes would defeat jit caching
             frames = {
@@ -155,13 +177,17 @@ class MeshSimulator:
                 tstate, loss = step(tstate, frames, k, static)
             else:
                 tstate, loss = step(tstate, frames, k)
-            loss = float(loss)
-            losses.append(loss)
-            if self.logger:
-                self.logger.log(
-                    {"loss": loss, "training time per instance": time.time() - t0}
-                )
+            device_losses.append(loss)
+            dispatch_times.append(time.time() - t0)
+
+        if device_losses:
+            jax.block_until_ready(device_losses[-1])
+        losses = [float(l) for l in device_losses]
         if self.logger:
+            for loss, dt in zip(losses, dispatch_times):
+                self.logger.log(
+                    {"loss": loss, "training time per instance": dt}
+                )
             elapsed = time.time() - start_traj
             num_edges = len(topo.senders)
             self.logger.log(

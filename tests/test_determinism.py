@@ -43,6 +43,68 @@ def run_once(seed):
     return losses, ts
 
 
+class TestShuffledFit:
+    """fit_trajectory shuffles batch order (reference MeshSimulator.py:138)
+    with a seeded RNG and fetches losses once per trajectory."""
+
+    def _simulator(self, seed, tmp_path):
+        from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+
+        params = {
+            **PARAMS,
+            "task": {**PARAMS["task"], "batch_size": 3, "n_timesteps": 12},
+            "random_seed": seed,
+        }
+        return MeshSimulator(params, out_dir=str(tmp_path))
+
+    def test_seeded_shuffle_is_deterministic(self, tmp_path):
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=12, nx=5, ny=5), "world_pos", True
+        )
+        results = []
+        for rep in range(2):
+            sim = self._simulator(0, tmp_path / str(rep))
+            ts = sim.initialize()
+            ts, losses = sim.fit_trajectory(ts, traj)
+            results.append((losses, ts))
+        assert results[0][0] == results[1][0]
+        for a, b in zip(
+            jax.tree.leaves(results[0][1].model.params),
+            jax.tree.leaves(results[1][1].model.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shuffle_visits_batches_in_seeded_order(self, tmp_path):
+        """Observed batch sizes follow the seeded permutation of the temporal
+        job list (10 usable frames / batch 3 -> sizes [3,3,3,1] permuted)."""
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=12, nx=5, ny=5), "world_pos", True
+        )
+        for seed in (0, 3):
+            sim = self._simulator(seed, tmp_path / f"s{seed}")
+            sim.time_steps = 11
+            seen = []
+            orig = sim._train_step_fn
+
+            def spy(topo, _orig=orig, _seen=seen):
+                fn = _orig(topo)
+
+                def wrapped(ts, frames, key, *rest):
+                    _seen.append(int(np.asarray(frames["world_pos"]).shape[0]))
+                    return fn(ts, frames, key, *rest)
+
+                return wrapped
+
+            sim._train_step_fn = spy
+            ts = sim.initialize()
+            sim.fit_trajectory(ts, traj)
+
+            temporal = [3, 3, 3, 1]
+            expected = list(temporal)
+            np.random.RandomState(seed).shuffle(expected)
+            assert seen == expected, (seed, seen, expected)
+
+
 class TestDeterminism:
     def test_same_seed_same_losses(self):
         l1, ts1 = run_once(0)
