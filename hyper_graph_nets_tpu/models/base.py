@@ -127,6 +127,51 @@ class SystemModel:
             self._fn_cache[key] = _jax.jit(build())
         return self._fn_cache[key]
 
+    def _n_step_chunked(self, fn, starts, make_chunk_inputs, chunk):
+        """Drive a vmapped n-step window fn in bounded chunks.
+
+        Real trajectories (flag_simple T=399, n=60 -> 339 windows) cannot vmap
+        all sliding windows in one program; windows run ``chunk`` at a time
+        (last chunk padded by repeating the final window, padding discarded on
+        host).  ``fn(*make_chunk_inputs(idx))`` must return per-window per-step
+        losses ``[chunk, n+1]``.  Returns (mean over windows of per-window
+        mean, mean over windows of last-step loss) — identical semantics to
+        one full-width vmap (reference MeshSimulator.py:392-436).
+        """
+        W = len(starts)
+        if W == 0:
+            nan = jnp.asarray(float("nan"))
+            return nan, nan
+        mean_sum = 0.0
+        last_sum = 0.0
+        for s0 in range(0, W, chunk):
+            idx = starts[s0 : s0 + chunk]
+            valid = len(idx)
+            if valid < chunk:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], chunk - valid)])
+            losses = np.asarray(fn(*make_chunk_inputs(idx)))[:valid]
+            mean_sum += float(losses.mean(axis=1).sum())
+            last_sum += float(losses[:, -1].sum())
+        return jnp.asarray(mean_sum / W), jnp.asarray(last_sum / W)
+
+    def n_step_chunk_size(self, num_windows: int) -> int:
+        """Windows per compiled program (config ``model.n_step_chunk``)."""
+        cfg = int(self.params["model"].get("n_step_chunk", 32))
+        return max(1, min(cfg, num_windows))
+
+    @staticmethod
+    def _expansion_key(expansion):
+        """Stable cache-key component for an expansion.
+
+        Prefers the config-derived ``fingerprint`` (training/expansion.py);
+        otherwise keys on the object itself — the cache's strong reference
+        keeps it alive, so (unlike ``id()``) the key can never alias a
+        different expansion after garbage collection.
+        """
+        if expansion is None:
+            return None
+        return getattr(expansion, "fingerprint", None) or expansion
+
     @staticmethod
     def _static_shapes(tree) -> tuple:
         import jax as _jax

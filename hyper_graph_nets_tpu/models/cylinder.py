@@ -191,7 +191,7 @@ class CylinderModel(SystemModel):
             topo.senders.shape,
             topo.num_nodes,
             num_steps,
-            id(expansion),
+            self._expansion_key(expansion),
             self._static_shapes(static),
         )
 
@@ -266,14 +266,15 @@ class CylinderModel(SystemModel):
     ) -> Tuple[Array, Array]:
         T = trajectory["cells"].shape[0] if num_timesteps is None else num_timesteps
         starts = np.arange(T - n_step)
+        chunk = self.n_step_chunk_size(len(starts))
         static = expansion.static if expansion is not None else None
         cache_key = (
             "n_step",
             topo.senders.shape,
             topo.num_nodes,
             n_step,
-            len(starts),
-            id(expansion),
+            chunk,
+            self._expansion_key(expansion),
             self._static_shapes(static),
         )
 
@@ -304,8 +305,7 @@ class CylinderModel(SystemModel):
                     )
                     return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
 
-                losses = jax.vmap(one_window)(v0, p0, gt)
-                return jnp.mean(losses), jnp.mean(losses[:, -1])
+                return jax.vmap(one_window)(v0, p0, gt)  # [chunk, n+1]
 
             return core
 
@@ -314,9 +314,13 @@ class CylinderModel(SystemModel):
             "mesh_pos": jnp.asarray(trajectory["mesh_pos"][0]),
             "node_type": jnp.asarray(trajectory["node_type"][0]),
         }
-        v0 = jnp.asarray(trajectory["velocity"][starts])
-        p0 = jnp.asarray(trajectory["pressure"][starts])
-        gt = jnp.stack(
-            [trajectory["velocity"][s : s + n_step + 1] for s in starts]
-        )
-        return fn(state, static_frame, v0, p0, jnp.asarray(gt), static)
+
+        def chunk_inputs(idx):
+            v0 = jnp.asarray(trajectory["velocity"][idx])
+            p0 = jnp.asarray(trajectory["pressure"][idx])
+            gt = jnp.asarray(
+                np.stack([trajectory["velocity"][s : s + n_step + 1] for s in idx])
+            )
+            return state, static_frame, v0, p0, gt, static
+
+        return self._n_step_chunked(fn, starts, chunk_inputs, chunk)

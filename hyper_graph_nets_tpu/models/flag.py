@@ -261,7 +261,7 @@ class FlagModel(SystemModel):
             topo.senders.shape,
             topo.num_nodes,
             num_steps,
-            id(expansion),
+            self._expansion_key(expansion),
             self._static_shapes(static),
         )
 
@@ -335,19 +335,21 @@ class FlagModel(SystemModel):
     ) -> Tuple[Array, Array]:
         """Sliding-window n-step losses (reference flag.py:249-260).
 
-        TPU-native: all windows rollout in parallel under one vmap instead of
-        the reference's sequential per-window loop.
+        TPU-native: windows rollout in parallel under vmap, in bounded
+        chunks (base._n_step_chunked) so real trajectory lengths
+        (T=399, n=60 -> 339 windows) fit memory and compile time.
         """
         T = trajectory["cells"].shape[0] if num_timesteps is None else num_timesteps
         starts = np.arange(T - n_step)
+        chunk = self.n_step_chunk_size(len(starts))
         static = expansion.static if expansion is not None else None
         cache_key = (
             "n_step",
             topo.senders.shape,
             topo.num_nodes,
             n_step,
-            len(starts),
-            id(expansion),
+            chunk,
+            self._expansion_key(expansion),
             self._static_shapes(static),
         )
 
@@ -383,8 +385,7 @@ class FlagModel(SystemModel):
                     )
                     return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
 
-                losses = jax.vmap(one_window)(prev0, cur0, gt)  # [W, n+1]
-                return jnp.mean(losses), jnp.mean(losses[:, -1])
+                return jax.vmap(one_window)(prev0, cur0, gt)  # [chunk, n+1]
 
             return core
 
@@ -393,9 +394,13 @@ class FlagModel(SystemModel):
             "mesh_pos": jnp.asarray(trajectory["mesh_pos"][0]),
             "node_type": jnp.asarray(trajectory["node_type"][0]),
         }
-        prev0 = jnp.asarray(trajectory["prev|world_pos"][starts])
-        cur0 = jnp.asarray(trajectory["world_pos"][starts])
-        gt = jnp.stack(
-            [trajectory["world_pos"][s : s + n_step + 1] for s in starts]
-        )  # [W, n+1, N, 3]
-        return fn(state, static_frame, prev0, cur0, jnp.asarray(gt), static)
+
+        def chunk_inputs(idx):
+            prev0 = jnp.asarray(trajectory["prev|world_pos"][idx])
+            cur0 = jnp.asarray(trajectory["world_pos"][idx])
+            gt = jnp.asarray(
+                np.stack([trajectory["world_pos"][s : s + n_step + 1] for s in idx])
+            )  # [chunk, n+1, N, 3]
+            return state, static_frame, prev0, cur0, gt, static
+
+        return self._n_step_chunked(fn, starts, chunk_inputs, chunk)

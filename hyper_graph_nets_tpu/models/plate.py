@@ -323,7 +323,7 @@ class PlateModel(SystemModel):
             topo.senders.shape,
             topo.num_nodes,
             num_steps,
-            id(expansion),
+            self._expansion_key(expansion),
             self._static_shapes(static),
         )
 
@@ -396,14 +396,15 @@ class PlateModel(SystemModel):
     ) -> Tuple[Array, Array]:
         T = trajectory["cells"].shape[0] if num_timesteps is None else num_timesteps
         starts = np.arange(T - n_step)
+        chunk = self.n_step_chunk_size(len(starts))
         static = expansion.static if expansion is not None else None
         cache_key = (
             "n_step",
             topo.senders.shape,
             topo.num_nodes,
             n_step,
-            len(starts),
-            id(expansion),
+            chunk,
+            self._expansion_key(expansion),
             self._static_shapes(static),
         )
 
@@ -436,8 +437,7 @@ class PlateModel(SystemModel):
                     _, pred = jax.lax.scan(step, cur_pos, targets)
                     return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
 
-                losses = jax.vmap(one_window)(cur0, tgt, gt)
-                return jnp.mean(losses), jnp.mean(losses[:, -1])
+                return jax.vmap(one_window)(cur0, tgt, gt)  # [chunk, n+1]
 
             return core
 
@@ -446,11 +446,17 @@ class PlateModel(SystemModel):
             "mesh_pos": jnp.asarray(trajectory["mesh_pos"][0]),
             "node_type": jnp.asarray(trajectory["node_type"][0]),
         }
-        cur0 = jnp.asarray(trajectory["world_pos"][starts])
-        tgt = jnp.stack(
-            [trajectory["target|world_pos"][s : s + n_step + 1] for s in starts]
-        )
-        gt = jnp.stack(
-            [trajectory["world_pos"][s : s + n_step + 1] for s in starts]
-        )
-        return fn(state, static_frame, cur0, jnp.asarray(tgt), jnp.asarray(gt), static)
+
+        def chunk_inputs(idx):
+            cur0 = jnp.asarray(trajectory["world_pos"][idx])
+            tgt = jnp.asarray(
+                np.stack(
+                    [trajectory["target|world_pos"][s : s + n_step + 1] for s in idx]
+                )
+            )
+            gt = jnp.asarray(
+                np.stack([trajectory["world_pos"][s : s + n_step + 1] for s in idx])
+            )
+            return state, static_frame, cur0, tgt, gt, static
+
+        return self._n_step_chunked(fn, starts, chunk_inputs, chunk)

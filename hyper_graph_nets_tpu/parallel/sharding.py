@@ -80,6 +80,9 @@ def shard_topology(topo: Topology, mesh: Mesh) -> Topology:
         receivers=jax.device_put(receivers, sharding),
         num_nodes=topo.num_nodes,
         mask=jax.device_put(jnp.asarray(mask), sharding),
+        # model-specific static aux (e.g. plate obstacle indices) is small
+        # and stays replicated
+        aux=topo.aux,
     )
 
 
@@ -91,16 +94,20 @@ def constrain_graph(graph: Graph, mesh: Mesh) -> Graph:
     batch = graph.node_features.ndim == 3
     node_spec = P("data", None, None) if batch else P(None, None)
     edge_feat_spec = P("data", "graph", None) if batch else P("graph", None)
-    edge_mask_spec = P("data", "graph") if batch else P("graph")
 
     new_sets = {}
     for name, es in graph.edge_sets.items():
         idx_spec = P("graph") if es.senders.ndim == 1 else P("data", "graph")
+        if es.mask is None:
+            mask = None
+        else:
+            # 1-D masks shard over 'graph'; batched 2-D over ('data','graph')
+            mask = c(es.mask, P(*("data", "graph")[-es.mask.ndim :]))
         new_sets[name] = EdgeSet(
             features=c(es.features, edge_feat_spec),
             senders=c(es.senders, idx_spec),
             receivers=c(es.receivers, idx_spec),
-            mask=c(es.mask, edge_mask_spec),
+            mask=mask,
         )
     hyper = graph.hyper_features
     if hyper is not None:
@@ -126,41 +133,52 @@ def shard_frames(frames: Dict[str, Array], mesh: Mesh) -> Dict[str, Array]:
     return out
 
 
-def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh):
+def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh, expansion=None):
     """A fully sharded train step: DP over 'data', edge-parallel over 'graph'.
 
     The step is the single-device train step with sharding constraints; XLA
     SPMD inserts the ICI collectives (grad all-reduce over 'data' x 'graph',
     aggregate partial-sum reduction over 'graph').  ``topo`` should come from
     :func:`shard_topology`.
+
+    With an ``expansion`` (remote message passing / balancer, the flagship
+    HyperGraphNets path), the step takes an extra ``rmp_static`` pytree from
+    ``expansion.prepare(...)`` — the hypergraph incidence built on host.  The
+    hyper tier it adds (hyper nodes + intra/inter cluster edge sets) is
+    sharded by :func:`constrain_graph` like the mesh tier: hyper node
+    features replicated over 'graph', hyper edge sets partitioned over it.
     """
     model = trainer.model
 
-    def loss_fn(params, normalizers, frames):
+    def loss_fn(params, normalizers, frames, rmp_static, ekey):
         mstate = ModelState(params=params, normalizers=normalizers)
         graph, aux, mstate = model.make_graph(mstate, topo, frames, True)
+        if expansion is not None:
+            graph, mstate = expansion.expand(
+                mstate, graph, frames, model,
+                is_training=True, key=ekey, static=rmp_static,
+            )
         graph = constrain_graph(graph, mesh)
         target, mstate = model.get_target(mstate, frames, is_training=True)
         from hyper_graph_nets_tpu.training.trainer import batched_forward
 
-        out = batched_forward(model, params, graph)
+        out = batched_forward(model, mstate.params, graph)
         mask = model.loss_mask(frames["node_type"]).astype(out.dtype)[..., None]
         loss = jnp.sum(jnp.square(target - out) * mask) / (
             jnp.sum(mask) * out.shape[-1]
         )
         return loss, mstate.normalizers
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(tstate: TrainState, frames: Dict[str, Array], key: Array):
+    def _step(tstate: TrainState, frames: Dict[str, Array], key: Array, rmp_static):
         # identical key-split pattern to Trainer.make_train_step so both
         # paths draw the same noise for the same key
-        key, nkey, _ekey = jax.random.split(key, 3)
+        key, nkey, ekey = jax.random.split(key, 3)
         if model.noise_scale is not None:
             frames = add_noise(
                 frames, model.field, model.noise_scale, model.noise_gamma, nkey
             )
         (loss, normalizers), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            tstate.model.params, tstate.model.normalizers, frames
+            tstate.model.params, tstate.model.normalizers, frames, rmp_static, ekey
         )
         import optax
 
@@ -177,18 +195,45 @@ def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh):
             loss,
         )
 
+    if expansion is None:
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(tstate, frames, key):
+            return _step(tstate, frames, key, None)
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(tstate, frames, key, rmp_static):
+            return _step(tstate, frames, key, rmp_static)
+
     return train_step
 
 
-def make_sharded_forward(model: SystemModel, topo: Topology, mesh: Mesh):
+def make_sharded_forward(model: SystemModel, topo: Topology, mesh: Mesh, expansion=None):
     """Edge-parallel inference forward (for scaling benchmarks and parity tests)."""
 
-    @jax.jit
-    def fwd(mstate: ModelState, frames: Dict[str, Array]) -> Array:
+    def _fwd(mstate: ModelState, frames: Dict[str, Array], rmp_static) -> Array:
         graph, _, _ = model.make_graph(mstate, topo, frames, False)
+        if expansion is not None:
+            graph, _ = expansion.expand(
+                mstate, graph, frames, model, is_training=False, static=rmp_static
+            )
         graph = constrain_graph(graph, mesh)
         from hyper_graph_nets_tpu.training.trainer import batched_forward
 
         return batched_forward(model, mstate.params, graph)
+
+    if expansion is None:
+
+        @jax.jit
+        def fwd(mstate, frames):
+            return _fwd(mstate, frames, None)
+
+    else:
+
+        @jax.jit
+        def fwd(mstate, frames, rmp_static):
+            return _fwd(mstate, frames, rmp_static)
 
     return fwd

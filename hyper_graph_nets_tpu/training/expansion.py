@@ -18,13 +18,34 @@ from hyper_graph_nets_tpu.models.base import reset_due
 Array = jax.Array
 
 
-class CompositeExpansion:
-    """Ordered expansions with per-member reset cadence."""
+def _freeze(obj):
+    """Canonical hashable form of a (nested) config value."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
 
-    def __init__(self, members: Sequence, frequencies: Sequence[int]):
+
+class CompositeExpansion:
+    """Ordered expansions with per-member reset cadence.
+
+    ``fingerprint`` is a stable hashable key derived from the building
+    config — models key their compiled-fn caches on it instead of
+    ``id(expansion)`` (an id of a collected object can be reused, silently
+    aliasing a function compiled for a different expansion config).
+    """
+
+    def __init__(
+        self, members: Sequence, frequencies: Sequence[int], fingerprint=None
+    ):
         assert len(members) == len(frequencies)
         self.members = list(members)
         self.frequencies = list(frequencies)
+        self.fingerprint = fingerprint or (
+            tuple(type(m).__name__ for m in members),
+            tuple(frequencies),
+        )
 
     def reset(self, step: int, num_steps: int) -> None:
         """Apply each member's reset cadence (reference flag.py:130-141)."""
@@ -88,6 +109,10 @@ def build_expansion(model, config: dict):
         freqs.append(model.rmp_frequency)
     if not members:
         return None
-    if len(members) == 1:
-        return CompositeExpansion(members, freqs)
-    return CompositeExpansion(members, freqs)
+    model_cfg = config.get("params", config).get("model", config.get("model", {}))
+    fingerprint = (
+        _freeze(model_cfg.get("rmp", {})),
+        _freeze(model_cfg.get("graph_balancer", {})),
+        tuple(freqs),
+    )
+    return CompositeExpansion(members, freqs, fingerprint=fingerprint)

@@ -128,3 +128,71 @@ class TestResetCadence:
         ts, _ = sim.fit_trajectory(ts, traj)
         # frequency 3 over 9 steps -> resets at 0, 3, 6: every batch reclusters
         assert calls == ["cluster", "cluster", "cluster"]
+
+
+class TestExpansionCacheKeys:
+    """Model fn-cache keys must not alias across different expansion configs
+    (the reference hazard: id() of a collected object can be reused)."""
+
+    def _build(self, num_clusters):
+        from hyper_graph_nets_tpu.models.flag import FlagModel
+        from hyper_graph_nets_tpu.training.expansion import build_expansion
+
+        params = {
+            "task": {"dataset": "flag_minimal"},
+            "model": {
+                "field": "world_pos",
+                "history": True,
+                "size": 3,
+                "noise": 0.003,
+                "gamma": 0.9,
+                "aggregation": "pna",
+                "learning_rate": 1e-3,
+                "message_passing_steps": 1,
+                "rmp": {
+                    "clustering": "kmeans",
+                    "connector": "hyper",
+                    "num_clusters": num_clusters,
+                    "hyper_noise": 0.0,
+                    "hyper_node_features": True,
+                    "frequency": 1,
+                    "fully_connect": False,
+                    "intra_cluster_sampling": {
+                        "enabled": False,
+                        "alpha": 0.1,
+                        "spotter_threshold": 0,
+                    },
+                },
+                "graph_balancer": {"algorithm": "none"},
+            },
+        }
+        model = FlagModel(params)
+        return model, build_expansion(model, params)
+
+    def test_different_configs_never_alias(self):
+        from hyper_graph_nets_tpu.models.base import SystemModel
+
+        model, exp_a = self._build(num_clusters=3)
+        key_a = SystemModel._expansion_key(exp_a)
+        del exp_a  # simulate GC between trajectories
+        _, exp_b = self._build(num_clusters=4)
+        key_b = SystemModel._expansion_key(exp_b)
+        assert key_a != key_b
+
+    def test_same_config_shares_compiled_fns(self):
+        from hyper_graph_nets_tpu.models.base import SystemModel
+
+        _, exp_a = self._build(num_clusters=3)
+        _, exp_b = self._build(num_clusters=3)
+        assert SystemModel._expansion_key(exp_a) == SystemModel._expansion_key(exp_b)
+
+    def test_raw_member_key_holds_reference(self):
+        """A fingerprint-less expansion keys on the object itself (kept alive
+        by the cache), never on a reusable id."""
+        from hyper_graph_nets_tpu.models.base import SystemModel
+        from hyper_graph_nets_tpu.rmp.remote_message_passing import get_rmp
+
+        model, _ = self._build(num_clusters=3)
+        rmp = get_rmp(model.params)
+        assert SystemModel._expansion_key(rmp) is rmp
+        assert SystemModel._expansion_key(None) is None

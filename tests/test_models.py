@@ -252,3 +252,37 @@ class TestPlateModel:
                 np.asarray(wr_r)[np.asarray(wm_r) > 0].tolist())
         )
         assert dense == restricted and len(dense) >= 1
+
+
+class TestNStepChunking:
+    """Chunked n-step evaluation (base._n_step_chunked) is exact: any chunk
+    size gives the same result as one full-width vmap, including the padded
+    final chunk."""
+
+    def test_chunked_matches_full_width(self):
+        params, traj, model, topo = flag_setup(num_steps=30)
+        state = model.init_state(jax.random.PRNGKey(0))
+        results = {}
+        for chunk in (1000, 8, 5):  # 1000 -> single chunk of all windows
+            params["model"]["n_step_chunk"] = chunk
+            model._fn_cache.clear()
+            mean, last = model.n_step_computation(
+                state, topo, traj, n_step=5
+            )
+            results[chunk] = (float(mean), float(last))
+        full = results[1000]
+        for chunk in (8, 5):
+            np.testing.assert_allclose(results[chunk][0], full[0], rtol=1e-6)
+            np.testing.assert_allclose(results[chunk][1], full[1], rtol=1e-6)
+
+    def test_chunk_size_bounds_compiled_width(self):
+        """The compiled program width is the chunk size, not the window count
+        (the memory guarantee for real trajectory lengths)."""
+        params, traj, model, topo = flag_setup(num_steps=30)
+        params["model"]["n_step_chunk"] = 4
+        state = model.init_state(jax.random.PRNGKey(0))
+        model._fn_cache.clear()
+        model.n_step_computation(state, topo, traj, n_step=5)
+        keys = [k for k in model._fn_cache if k[0] == "n_step"]
+        assert len(keys) == 1
+        assert keys[0][4] == 4  # chunk, not num_windows

@@ -131,3 +131,168 @@ class TestSharding:
             jax.random.PRNGKey(0),
         )
         assert np.isfinite(float(loss))
+
+
+HGN_PARAMS = {
+    "task": {"dataset": "flag_minimal"},
+    "model": {
+        "field": "world_pos",
+        "history": True,
+        "size": 3,
+        "noise": 0.003,
+        "gamma": 0.9,
+        "aggregation": "pna",
+        "learning_rate": 1e-3,
+        "message_passing_steps": 2,
+        "rmp": {
+            "clustering": "kmeans",
+            "connector": "hyper",
+            "num_clusters": 4,
+            "hyper_noise": 0.0,
+            "hyper_node_features": True,
+            "frequency": 1,
+            "fully_connect": False,
+            "intra_cluster_sampling": {
+                "enabled": False,
+                "alpha": 0.1,
+                "spotter_threshold": 0,
+            },
+        },
+        "graph_balancer": {"algorithm": "none"},
+    },
+}
+
+
+class TestShardedFlagship:
+    """Multi-device coverage of the flagship HyperGraphNets architecture:
+    hyper tier (N+K row space), 4 edge sets, RMP static incidence under the
+    ('data','graph') mesh (VERDICT r1 item 3)."""
+
+    def _hgn_setup(self):
+        from hyper_graph_nets_tpu.training.expansion import build_expansion
+
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=12, nx=6, ny=6), "world_pos", True
+        )
+        model = FlagModel(HGN_PARAMS)
+        topo = model.topology_from_trajectory(traj)
+        trainer = Trainer(model, HGN_PARAMS)
+        tstate = trainer.init_train_state(jax.random.PRNGKey(0))
+        expansion = build_expansion(model, HGN_PARAMS)
+        return traj, model, topo, trainer, tstate, expansion
+
+    def test_sharded_hgn_forward_matches_single_device(self):
+        traj, model, topo, trainer, tstate, expansion = self._hgn_setup()
+        mesh = sharding.make_mesh(data=2, graph=4)
+        st = sharding.shard_topology(topo, mesh)
+        frames = {k: jnp.asarray(v[:4]) for k, v in traj.items() if k != "cells"}
+        frame0 = {k: v[0] for k, v in traj.items()}
+        expansion.prepare(model, frame0, topo)
+        static = expansion.static
+
+        # Warm the normalizers with one train step: at init their std floor
+        # (1e-8) scales eval features by 1e8, amplifying partitioned
+        # reduction-order noise into apparent divergence.
+        warm = trainer.make_train_step(topo, expansion=expansion)
+        tstate, _ = warm(tstate, frames, jax.random.PRNGKey(11), static)
+
+        fwd = sharding.make_sharded_forward(model, st, mesh, expansion=expansion)
+        mstate = sharding.replicate(tstate.model, mesh)
+        got = np.asarray(fwd(mstate, sharding.shard_frames(frames, mesh), static))
+
+        graph, _, _ = model.make_graph(tstate.model, topo, frames, False)
+        graph, _ = expansion.expand(
+            tstate.model, graph, frames, model, is_training=False, static=static
+        )
+        from hyper_graph_nets_tpu.training.trainer import batched_forward
+
+        want = np.asarray(batched_forward(model, tstate.model.params, graph))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_sharded_hgn_train_step_runs_and_matches_loss(self):
+        traj, model, topo, trainer, tstate, expansion = self._hgn_setup()
+        mesh = sharding.make_mesh(data=2, graph=4)
+        st = sharding.shard_topology(topo, mesh)
+        frames = {k: jnp.asarray(v[:4]) for k, v in traj.items() if k != "cells"}
+        frame0 = {k: v[0] for k, v in traj.items()}
+        expansion.prepare(model, frame0, topo)
+        static = expansion.static
+        key = jax.random.PRNGKey(7)
+
+        replicated = sharding.replicate(jax.tree.map(jnp.copy, tstate), mesh)
+        step_spmd = sharding.make_spmd_train_step(trainer, st, mesh, expansion=expansion)
+        ts2, loss2 = step_spmd(
+            replicated, sharding.shard_frames(frames, mesh), key, static
+        )
+
+        step_single = trainer.make_train_step(topo, expansion=expansion)
+        ts1, loss1 = step_single(tstate, frames, key, static)
+        assert np.isfinite(float(loss2))
+        assert abs(float(loss1) - float(loss2)) < 1e-4
+
+
+class TestShardedPlate:
+    """Sharded plate step: two edge sets with per-frame dynamic world-edge
+    topology (batched senders/receivers) under the ('data','graph') mesh."""
+
+    def _plate_setup(self):
+        from hyper_graph_nets_tpu.models.plate import PlateModel
+
+        params = {
+            "task": {"dataset": "deforming_plate"},
+            "model": {
+                "field": "world_pos",
+                "history": False,
+                "size": 3,
+                "noise": 0.003,
+                "gamma": 1.0,
+                "aggregation": "pna",
+                "learning_rate": 1e-3,
+                "message_passing_steps": 2,
+                "max_world_edges": 64,
+                "rmp": {"clustering": "none", "connector": "none"},
+                "graph_balancer": {"algorithm": "none"},
+            },
+        }
+        traj = add_targets(
+            synthetic.plate_trajectory(num_steps=12, nx=5, ny=5),
+            "world_pos",
+            history=False,
+        )
+        model = PlateModel(params)
+        topo = model.topology_from_trajectory(traj)
+        trainer = Trainer(model, params)
+        tstate = trainer.init_train_state(jax.random.PRNGKey(0))
+        return traj, model, topo, trainer, tstate
+
+    def test_sharded_plate_forward_matches_single_device(self):
+        traj, model, topo, trainer, tstate = self._plate_setup()
+        mesh = sharding.make_mesh(data=2, graph=4)
+        st = sharding.shard_topology(topo, mesh)
+        frames = {k: jnp.asarray(v[:4]) for k, v in traj.items() if k != "cells"}
+
+        fwd = sharding.make_sharded_forward(model, st, mesh)
+        mstate = sharding.replicate(tstate.model, mesh)
+        got = np.asarray(fwd(mstate, sharding.shard_frames(frames, mesh)))
+
+        graph, _, _ = model.make_graph(tstate.model, topo, frames, False)
+        from hyper_graph_nets_tpu.training.trainer import batched_forward
+
+        want = np.asarray(batched_forward(model, tstate.model.params, graph))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_sharded_plate_train_step_matches_loss(self):
+        traj, model, topo, trainer, tstate = self._plate_setup()
+        mesh = sharding.make_mesh(data=2, graph=4)
+        st = sharding.shard_topology(topo, mesh)
+        frames = {k: jnp.asarray(v[:4]) for k, v in traj.items() if k != "cells"}
+        key = jax.random.PRNGKey(5)
+
+        replicated = sharding.replicate(jax.tree.map(jnp.copy, tstate), mesh)
+        step_spmd = sharding.make_spmd_train_step(trainer, st, mesh)
+        ts2, loss2 = step_spmd(replicated, sharding.shard_frames(frames, mesh), key)
+
+        step_single = trainer.make_train_step(topo)
+        ts1, loss1 = step_single(tstate, frames, key)
+        assert np.isfinite(float(loss2))
+        assert abs(float(loss1) - float(loss2)) < 1e-4
