@@ -290,6 +290,17 @@ class SystemModel:
         """Nodes excluded from clustering (plate obstacles); None otherwise."""
         return None
 
+    def world_edge_receiver_nodes(
+        self, frame: Dict[str, np.ndarray], topo: Topology
+    ) -> Optional[np.ndarray]:
+        """Node indices receiving world edges in ``frame`` (host side).
+
+        Used by the world-aware inter-cluster edge builder (reference
+        hierarchical_connector.py:150-156); only models with world edges
+        (plate) return indices.
+        """
+        return None
+
     def host_graph(self, frame: Dict[str, np.ndarray], topo: Topology):
         """Numpy snapshot of one frame for host-side clustering."""
         from hyper_graph_nets_tpu.rmp.clustering import HostGraph

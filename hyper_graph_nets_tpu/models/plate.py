@@ -81,6 +81,9 @@ class PlateModel(SystemModel):
                 "inter_cluster",
             ):
                 dims.append((name, 8))
+            if self.rmp_config.get("inter_cluster_world", False):
+                # reference truncates these to width 4 (:183)
+                dims.append(("inter_cluster_world", 4))
         return tuple(dims)
 
     def normalizer_schema(self) -> Dict[str, int]:
@@ -115,6 +118,22 @@ class PlateModel(SystemModel):
         idx[: len(obstacle)] = obstacle
         valid[: len(obstacle)] = 1.0
         return topo._replace(aux={"obstacle_idx": idx, "obstacle_valid": valid})
+
+    def world_edge_receiver_nodes(self, frame, topo) -> Optional[np.ndarray]:
+        """Host: NORMAL nodes within world-edge radius of an obstacle node
+        (the radius query of reference plate.py:85-110, receivers only)."""
+        world_pos = np.asarray(frame["world_pos"])
+        codes = np.asarray(frame["node_type"])[:, 0]
+        obstacle = codes == NodeType.OBSTACLE
+        normal = codes == NodeType.NORMAL
+        if not obstacle.any() or not normal.any():
+            return None
+        d2 = np.sum(
+            (world_pos[obstacle][:, None, :] - world_pos[normal][None, :, :]) ** 2,
+            axis=-1,
+        )
+        hit = (d2 < WORLD_EDGE_RADIUS**2).any(axis=0)
+        return np.nonzero(normal)[0][hit]
 
     # ------------------------------------------------------------------
     def _world_edges(

@@ -64,6 +64,12 @@ class RMPStatic(NamedTuple):
     # spread computation: per-cluster member gather
     member_idx: np.ndarray  # [K, m_max]
     member_valid: np.ndarray  # [K, m_max]
+    # world-aware inter edges (reference hierarchical_connector.py:145-187,
+    # config rmp.inter_cluster_world): directed pairs between clusters whose
+    # members receive world edges; None unless the connector enables them
+    inter_world_senders: Optional[np.ndarray] = None  # [P]
+    inter_world_receivers: Optional[np.ndarray] = None  # [P]
+    inter_world_mask: Optional[np.ndarray] = None  # [P]
 
 
 def _delaunay_pairs(centers: np.ndarray) -> list:
@@ -90,6 +96,8 @@ def build_static(
     fully_connect: bool = False,
     inter_mode: str = "neighbors",
     cluster_centers: "np.ndarray | None" = None,
+    inter_world: bool = False,
+    world_collide_labels: "np.ndarray | None" = None,
 ) -> RMPStatic:
     """Host stage: clustering -> static incidence arrays.
 
@@ -173,6 +181,30 @@ def build_static(
             member_valid[c, cursor[c]] = 1.0
             cursor[c] += 1
 
+    # world-aware inter edges: clusters whose members receive world edges
+    # ("colliding", reference hierarchical_connector.py:150-156) are fully
+    # interconnected.  Deviation from the dead reference code (which wires a
+    # hardcoded obstacle-cluster index): obstacle nodes are excluded from
+    # clustering here, so collision is defined by world-edge receivers.
+    # Shape-stable: capacity K*(K-1) with mask even when nothing collides.
+    iw_s = iw_r = iw_m = None
+    if inter_world:
+        iw_s = np.zeros(P, np.int32)
+        iw_r = np.zeros(P, np.int32)
+        iw_m = np.zeros(P, np.float32)
+        if world_collide_labels is not None and len(world_collide_labels):
+            collide = sorted(
+                {int(l) for l in np.asarray(world_collide_labels) if 0 <= l < K}
+            )
+            w_pairs = sorted(
+                ((a, b) for a in collide for b in collide if a != b),
+                key=lambda p: (p[1], p[0]),
+            )[:P]
+            for i, (a, b) in enumerate(w_pairs):
+                iw_s[i] = num_nodes + a
+                iw_r[i] = num_nodes + b
+                iw_m[i] = 1.0
+
     return RMPStatic(
         labels=labels,
         member_mask=member_mask,
@@ -193,6 +225,9 @@ def build_static(
         inter_gather=inter_gather,
         member_idx=member_idx,
         member_valid=member_valid,
+        inter_world_senders=iw_s,
+        inter_world_receivers=iw_r,
+        inter_world_mask=iw_m,
     )
 
 
@@ -234,15 +269,20 @@ class HierarchicalConnector:
         noise_scale: Optional[float] = None,
         hyper_node_features: bool = True,
         inter_mode: str = "neighbors",
+        inter_world: bool = False,
     ):
         self.fully_connect = fully_connect
         self.noise_scale = None if noise_scale in (None, "none") else noise_scale
         self.hyper_node_features = hyper_node_features
         self.inter_mode = inter_mode
+        self.inter_world = inter_world
 
     def initialize(self) -> list:
         """Edge-set names this connector registers (reference :22-25)."""
-        return list(self.edge_set_names)
+        names = list(self.edge_set_names)
+        if self.inter_world:
+            names.append("inter_cluster_world")
+        return names
 
     # ------------------------------------------------------------------
     def expand(
@@ -393,6 +433,30 @@ class HierarchicalConnector:
             static.inter_gather,
         )
 
+        if self.inter_world and static.inter_world_senders is not None:
+            # world-aware inter edges between colliding clusters (reference
+            # hierarchical_connector.py:145-187): standard 8-dim mean-relative
+            # features through the inter normalizer, truncated to width 4
+            # (reference :183 `self._inter_normalizer(...)[:, :4]`)
+            iw_s = jnp.asarray(static.inter_world_senders)
+            iw_r = jnp.asarray(static.inter_world_receivers)
+            iw_m = jnp.asarray(static.inter_world_mask)
+            rel_iw = jnp.take(means_pad, iw_s, axis=-2) - jnp.take(
+                means_pad, iw_r, axis=-2
+            )
+            iw_feats_raw = _edge_feats(rel_iw, world_dim)
+            iw_feats, state = model._normalize(
+                state, "inter_edge", iw_feats_raw, accumulate=is_training,
+                mask=bmask(iw_m, iw_feats_raw),
+            )
+            iw_feats = iw_feats[..., :4]
+            edge_sets["inter_cluster_world"] = EdgeSet(
+                features=iw_feats * iw_m[..., None],
+                senders=iw_s,
+                receivers=iw_r,
+                mask=jnp.broadcast_to(iw_m, iw_feats.shape[:-1]),
+            )
+
         graph = graph.replace(edge_sets=edge_sets, hyper_features=hyper_features)
         return graph, state
 
@@ -473,8 +537,9 @@ def get_connector(name: str, rmp_config: dict):
     noise = rmp_config.get("hyper_noise")
     hnf = rmp_config.get("hyper_node_features", True)
     inter_mode = rmp_config.get("inter_mode", "neighbors")
+    inter_world = rmp_config.get("inter_cluster_world", False)
     if name in ("hyper", "hetero", "multiscale"):
-        return HierarchicalConnector(fully_connect, noise, hnf, inter_mode)
+        return HierarchicalConnector(fully_connect, noise, hnf, inter_mode, inter_world)
     if name == "multi":
         return MultigraphConnector(fully_connect, noise, hnf, inter_mode)
     if name in ("none", "repeated"):

@@ -92,6 +92,8 @@ class RemoteMessagePassing:
         else:
             clustering = self._clustering.run(host)
         self._last_clustering = clustering
+        # kept for cluster visualization (visualize_cluster / task loop)
+        self.last_coordinates = np.asarray(host.target_feature)
         inter_mode = getattr(self._connector, "inter_mode", "neighbors")
         centers = None
         if inter_mode == "delaunay":
@@ -103,12 +105,22 @@ class RemoteMessagePassing:
                     for c in clustering.clusters
                 ]
             )
+        inter_world = getattr(self._connector, "inter_world", False)
+        world_labels = None
+        if inter_world:
+            receivers = model.world_edge_receiver_nodes(frame, topo)
+            if receivers is not None and len(receivers):
+                world_labels = np.asarray(clustering.labels)[
+                    np.asarray(receivers, np.int64)
+                ]
         static = build_static(
             clustering,
             topo.num_nodes,
             fully_connect=self._connector.fully_connect,
             inter_mode=inter_mode,
             cluster_centers=centers,
+            inter_world=inter_world,
+            world_collide_labels=world_labels,
         )
         self._static = self._pad_static(static)
         return self._static
@@ -192,6 +204,16 @@ class RemoteMessagePassing:
                         static.inter_gather[1],
                     ),
                 )
+                if static.inter_world_senders is not None:
+                    static = static._replace(
+                        inter_world_senders=np.pad(
+                            static.inter_world_senders, (0, pad_p)
+                        ),
+                        inter_world_receivers=np.pad(
+                            static.inter_world_receivers, (0, pad_p)
+                        ),
+                        inter_world_mask=np.pad(static.inter_world_mask, (0, pad_p)),
+                    )
 
         d_up = _round_pow2(static.up_gather[0].shape[1])
         d_down = _round_pow2(static.down_gather[0].shape[1])

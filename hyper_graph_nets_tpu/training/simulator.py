@@ -388,8 +388,34 @@ class MeshSimulator:
 
     # ------------------------------------------------------------------
     def save_rollouts(self, rollouts: List[Dict[str, np.ndarray]]) -> str:
-        """Pickle rollout trajectories (reference :495-509)."""
+        """Pickle rollout trajectories (reference :495-509) and record them
+        in the artifact manifest (reference wandb.Artifact, :452-457)."""
         path = os.path.join(self.out_dir, "rollouts.pkl")
         with open(path, "wb") as f:
             pickle.dump(rollouts, f)
+        if self.logger:
+            self.logger.log_artifact("rollouts", path, kind="dataset")
         return path
+
+    def visualize_clusters(self, out_path: str) -> Optional[str]:
+        """Render the current cluster assignment of each RMP member to PNG.
+
+        Parity with the reference's per-trajectory cluster visualization
+        (reference remote_message_passing.py:146-150 wandb Object3D;
+        abstract_clustering_algorithm.py:87-91) as a local artifact.
+        Returns the path of the first rendered image, or None when no RMP
+        member has clustered yet.
+        """
+        if self.expansion is None:
+            return None
+        first = None
+        for member in self.expansion.members:
+            viz = getattr(member, "visualize_cluster", None)
+            coords = getattr(member, "last_coordinates", None)
+            if viz is None or coords is None:
+                continue
+            out = viz(coords, out_path=out_path)
+            if out and self.logger:
+                self.logger.log_artifact("cluster_viz", out, kind="image")
+            first = first or out
+        return first

@@ -161,6 +161,11 @@ class MeshTask(AbstractTask):
                 num_timesteps=self.n_timesteps,
             )
             self.select_plotting(rollout, epoch)
+            # cluster-assignment snapshot per epoch (reference logs 3D point
+            # clouds per trajectory, abstract_clustering_algorithm.py:87-91)
+            self.simulator.visualize_clusters(
+                os.path.join(self.out_dir, f"cluster_epoch{epoch}.png")
+            )
             checkpoint.save(self.out_dir, self.config, self.tstate, epoch + 1)
             self.logger.log({"epoch": epoch, "epoch_time": time.time() - t0})
 
@@ -180,6 +185,9 @@ class MeshTask(AbstractTask):
                 ops, self.simulator.model.model_type, path,
                 stride=max(1, len(ops[key]) // 20),
             )
+            if out:
+                # GIF upload parity (reference MeshTask.py:107 wandb Video)
+                self.logger.log_artifact(f"rollout_gif_epoch{epoch}", out, kind="image")
             first = first or out
         return first
 

@@ -80,6 +80,44 @@ class MetricsLogger:
             w.writerows(rows)
         return path
 
+    def log_artifact(self, name: str, path: str, kind: str = "dataset") -> str:
+        """Record a produced file in the local artifact manifest.
+
+        Local-first parity with the reference's wandb.Artifact uploads of
+        rollout pickles (reference MeshSimulator.py:452-457): every artifact
+        gets a manifest line in ``artifacts.jsonl`` (name, type, path, size,
+        content digest, step) and, when the W&B passthrough is live, is also
+        uploaded as a wandb Artifact.
+        """
+        import hashlib
+
+        digest = hashlib.sha256()
+        size = 0
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                digest.update(chunk)
+                size += len(chunk)
+        entry = {
+            "name": name,
+            "type": kind,
+            "path": os.path.abspath(path),
+            "bytes": size,
+            "sha256": digest.hexdigest()[:16],
+            "_step": self._step,
+            "_time": time.time(),
+        }
+        manifest = os.path.join(self.out_dir, "artifacts.jsonl")
+        with open(manifest, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        if self._wandb is not None:
+            try:
+                art = self._wandb.Artifact(name, type=kind)
+                art.add_file(path)
+                self._wandb.log_artifact(art)
+            except Exception:
+                pass
+        return manifest
+
     def log_histogram(self, name: str, values, percentile_clip: float = 90.0) -> None:
         """Summary stats with 90th-percentile trimming (reference :317-325)."""
         import numpy as np

@@ -89,7 +89,12 @@ def _make_stub(name: str, attrs: dict | None = None) -> types.ModuleType:
             "this code path genuinely needs the real package"
         )
 
-    mod.__getattr__ = lambda attr: _fail  # type: ignore[assignment]
+    def _getattr(attr, _name=name):
+        if attr.startswith("__"):  # introspection (inspect, pickling) stays sane
+            raise AttributeError(f"stub module {_name} has no attribute {attr}")
+        return _fail
+
+    mod.__getattr__ = _getattr  # type: ignore[assignment]
     for k, v in (attrs or {}).items():
         setattr(mod, k, v)
     return mod

@@ -305,3 +305,106 @@ class TestExpansion:
         obstacle = np.asarray(ptraj["node_type"][0][:, 0]) == 1
         assert static.member_mask[obstacle].sum() == 0
         assert static.member_mask[~obstacle].sum() > 0
+
+
+class TestInterClusterWorld:
+    """World-aware inter-cluster edges (reference hierarchical_connector.py:
+    145-187, config rmp.inter_cluster_world) — closes F10."""
+
+    def _params(self):
+        prmp = {
+            **RMP_BASE,
+            "clustering": "kmeans",
+            "connector": "hyper",
+            "num_clusters": 4,
+            "inter_cluster_world": True,
+        }
+        return {
+            "task": {"dataset": "deforming_plate"},
+            "model": {
+                "field": "world_pos",
+                "history": False,
+                "size": 3,
+                "noise": 0.003,
+                "gamma": 0.9,
+                "aggregation": "pna",
+                "learning_rate": 1e-3,
+                "message_passing_steps": 2,
+                "max_world_edges": 64,
+                "rmp": prmp,
+                "graph_balancer": {"algorithm": "none"},
+            },
+        }
+
+    def _colliding_traj(self):
+        """Plate trajectory with the obstacle pressed into the plate so the
+        radius query produces world edges from frame 0."""
+        traj = synthetic.plate_trajectory(num_steps=8, nx=5, ny=5)
+        nt = traj["node_type"][0][:, 0]
+        obstacle = np.nonzero(nt == 1)[0]
+        normal = np.nonzero(nt == 0)[0]
+        wp = traj["world_pos"].copy()
+        # park each obstacle node right next to a normal node
+        for t in range(wp.shape[0]):
+            wp[t, obstacle] = wp[t, normal[: len(obstacle)]] + 0.01
+        traj["world_pos"] = wp
+        return add_targets(traj, "world_pos", False)
+
+    def test_colliding_clusters_get_world_inter_edges(self):
+        pp = self._params()
+        ptraj = self._colliding_traj()
+        pm = PlateModel(pp)
+        ptopo = pm.topology_from_trajectory(ptraj)
+        prm = get_rmp(pp)
+        frame0 = {k: v[0] for k, v in ptraj.items()}
+        static = prm.prepare(pm, frame0, ptopo)
+
+        assert static.inter_world_senders is not None
+        valid = np.asarray(static.inter_world_mask) > 0
+        assert valid.sum() >= 2  # at least one colliding pair, both ways
+        N = ptopo.num_nodes
+        snd = np.asarray(static.inter_world_senders)[valid]
+        rcv = np.asarray(static.inter_world_receivers)[valid]
+        assert (snd >= N).all() and (rcv >= N).all()  # hyper row space
+        assert (snd != rcv).all()
+
+        # device expand produces the edge set with width-4 features
+        state = pm.init_state(jax.random.PRNGKey(0))
+        graph, _, _ = pm.make_graph(
+            state, ptopo, {k: jnp.asarray(v) for k, v in frame0.items()},
+            False, batched=False,
+        )
+        graph, _ = prm.expand(state, graph, frame0, pm, is_training=False, static=static)
+        es = graph.edge_sets["inter_cluster_world"]
+        assert es.features.shape[-1] == 4
+        assert float(jnp.sum(es.mask)) == valid.sum()
+
+    def test_no_collision_keeps_masked_empty_set(self):
+        pp = self._params()
+        ptraj = add_targets(
+            synthetic.plate_trajectory(num_steps=8, nx=5, ny=5), "world_pos", False
+        )
+        pm = PlateModel(pp)
+        ptopo = pm.topology_from_trajectory(ptraj)
+        prm = get_rmp(pp)
+        # frame 0: obstacle still far above the plate -> no world edges
+        static = prm.prepare(pm, {k: v[0] for k, v in ptraj.items()}, ptopo)
+        assert static.inter_world_senders is not None
+        assert np.asarray(static.inter_world_mask).sum() == 0
+
+    def test_trains_end_to_end_with_world_inter_edges(self):
+        from hyper_graph_nets_tpu.training.expansion import build_expansion
+        from hyper_graph_nets_tpu.training.trainer import Trainer
+
+        pp = self._params()
+        ptraj = self._colliding_traj()
+        pm = PlateModel(pp)
+        ptopo = pm.topology_from_trajectory(ptraj)
+        trainer = Trainer(pm, pp)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        expansion = build_expansion(pm, pp)
+        expansion.prepare(pm, {k: v[0] for k, v in ptraj.items()}, ptopo)
+        step = trainer.make_train_step(ptopo, expansion=expansion)
+        frames = {k: jnp.asarray(v[:3]) for k, v in ptraj.items() if k != "cells"}
+        ts, loss = step(ts, frames, jax.random.PRNGKey(1), expansion.static)
+        assert np.isfinite(float(loss))
