@@ -64,6 +64,11 @@ class EdgeSet:
     # path for static topology; scatter segment ops are the fallback.
     gather_idx: Optional[Array] = None
     gather_valid: Optional[Array] = None
+    # Optional sender-side inverse incidence (receivers_to_gather(senders)):
+    # enables a scatter-free backward for the sender gather in the edge
+    # update (segment_ops.gather_rows, config model.agg_vjp = 'gather')
+    snd_gather_idx: Optional[Array] = None
+    snd_gather_valid: Optional[Array] = None
 
     @property
     def num_edges(self) -> int:

@@ -169,6 +169,35 @@ def _pna_gather_bwd(res, g):
 pna_gather.defvjp(_pna_gather_fwd, _pna_gather_bwd)
 
 
+@jax.custom_vjp
+def gather_rows(x: Array, idx: Array, inv_idx: Array, inv_valid: Array) -> Array:
+    """``jnp.take(x, idx, axis=-2)`` with a gather-only backward.
+
+    XLA AD would emit a transposed scatter-add (the TPU slow path) for the
+    cotangent of a row gather.  With the static inverse incidence
+    ``inv_idx``/``inv_valid`` ([rows, d_max] from receivers_to_gather(idx)),
+    the backward becomes: for every source row, gather its occurrence
+    positions in ``idx`` and sum — pure gathers, no scatter.
+    """
+    return jnp.take(x, idx, axis=-2)
+
+
+def _gather_rows_fwd(x, idx, inv_idx, inv_valid):
+    return jnp.take(x, idx, axis=-2), (inv_idx, inv_valid)
+
+
+def _gather_rows_bwd(res, g):
+    inv_idx, inv_valid = res
+    n, d = inv_idx.shape
+    gg = jnp.take(g, inv_idx.reshape(-1), axis=-2)
+    gg = gg.reshape(g.shape[:-2] + (n, d, g.shape[-1]))
+    gx = jnp.sum(gg * inv_valid.astype(g.dtype)[..., None], axis=-2)
+    return (gx, None, None, None)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def aggregate(
     data: Array,
     segment_ids: Array,

@@ -51,6 +51,9 @@ class Topology(NamedTuple):
     mask: Optional[np.ndarray] = None  # [E] float or None
     gather_idx: Optional[np.ndarray] = None  # [N, d_max] int32 (fast aggregation)
     gather_valid: Optional[np.ndarray] = None  # [N, d_max] float
+    # sender-side inverse incidence (scatter-free edge-update backward)
+    snd_gather_idx: Optional[np.ndarray] = None
+    snd_gather_valid: Optional[np.ndarray] = None
     # model-specific static aux arrays (e.g. plate obstacle indices)
     aux: Optional[dict] = None
 
@@ -215,6 +218,7 @@ class SystemModel:
             compute_dtype=self.compute_dtype,
             scan_unroll=self.params["model"].get("scan_unroll", 1),
             remat=self.params["model"].get("remat", False),
+            agg_vjp=self.params["model"].get("agg_vjp", "xla"),
         )
 
     def init_state(self, key: Array) -> ModelState:
@@ -242,12 +246,15 @@ class SystemModel:
         if num_nodes is None:
             num_nodes = int(np.asarray(cells).max()) + 1
         gidx, gvalid = receivers_to_gather(edges.receivers, num_nodes)
+        sidx, svalid = receivers_to_gather(edges.senders, num_nodes)
         return Topology(
             senders=edges.senders,
             receivers=edges.receivers,
             num_nodes=num_nodes,
             gather_idx=gidx,
             gather_valid=gvalid,
+            snd_gather_idx=sidx,
+            snd_gather_valid=svalid,
         )
 
     def topology_from_trajectory(self, trajectory: Dict[str, np.ndarray]) -> Topology:

@@ -148,6 +148,16 @@ class CylinderModel(SystemModel):
                     mask=batch_emask,
                     gather_idx=gi,
                     gather_valid=gv,
+                    snd_gather_idx=(
+                        None
+                        if topo.snd_gather_idx is None
+                        else jnp.asarray(topo.snd_gather_idx)
+                    ),
+                    snd_gather_valid=(
+                        None
+                        if topo.snd_gather_valid is None
+                        else jnp.asarray(topo.snd_gather_valid)
+                    ),
                 )
             },
         )

@@ -206,6 +206,8 @@ class FlagModel(SystemModel):
                     mask=batch_emask,
                     gather_idx=_opt_arr(topo.gather_idx),
                     gather_valid=_opt_arr(topo.gather_valid),
+                    snd_gather_idx=_opt_arr(topo.snd_gather_idx),
+                    snd_gather_valid=_opt_arr(topo.snd_gather_valid),
                 )
             },
         )

@@ -301,6 +301,16 @@ class PlateModel(SystemModel):
                         if topo.gather_valid is None
                         else jnp.asarray(topo.gather_valid)
                     ),
+                    snd_gather_idx=(
+                        None
+                        if topo.snd_gather_idx is None
+                        else jnp.asarray(topo.snd_gather_idx)
+                    ),
+                    snd_gather_valid=(
+                        None
+                        if topo.snd_gather_valid is None
+                        else jnp.asarray(topo.snd_gather_valid)
+                    ),
                 ),
                 "world_edges": EdgeSet(
                     features=world_feats,

@@ -83,6 +83,11 @@ class GNNConfig:
     # trades ~1/3 more FLOPs for O(1) instead of O(mp_steps) activation
     # memory — enables deep processors on large meshes
     remat: bool = False
+    # 'xla': XLA AD differentiates gather_aggregate (backward = transposed
+    # scatter); 'gather': custom VJP routes node cotangents back to edges
+    # with pure gathers (segment_ops.pna_gather) — scatter-free backward,
+    # the TPU fast path for static topology + pna
+    agg_vjp: str = "xla"
 
     @property
     def edge_sets(self) -> Tuple[str, ...]:
@@ -189,12 +194,25 @@ def _update_edge_features(
     e_part = _dense(es.features, w1[2 * L :], cfg.cd)
     if cfg.cd is not None:
         b1 = b1.astype(cfg.cd)
-    h = (
-        jnp.take(s_part, es.senders, axis=0)
-        + jnp.take(r_part, es.receivers, axis=0)
-        + e_part
-        + b1
-    )
+    if (
+        cfg.agg_vjp == "gather"
+        and es.snd_gather_idx is not None
+        and es.gather_idx is not None
+    ):
+        # scatter-free backward: cotangents of the sender/receiver gathers
+        # route through the static inverse incidence (segment_ops.gather_rows)
+        from hyper_graph_nets_tpu.core.segment_ops import gather_rows
+
+        s_rows = gather_rows(
+            s_part, es.senders, es.snd_gather_idx, es.snd_gather_valid
+        )
+        r_rows = gather_rows(
+            r_part, es.receivers, es.gather_idx, es.gather_valid
+        )
+    else:
+        s_rows = jnp.take(s_part, es.senders, axis=0)
+        r_rows = jnp.take(r_part, es.receivers, axis=0)
+    h = s_rows + r_rows + e_part + b1
     return es.features + mlp_apply_tail(params, h, cfg.cd, from_layer=1)
 
 
@@ -225,8 +243,19 @@ def _aggregate_sets(
         if es.gather_idx is not None:
             # fast path: one gather over the static neighbor matrix feeds
             # all pna reductions (sum/mean/max/min) in a single pass.
-            # (A gather-only custom VJP exists — segment_ops.pna_gather —
-            # but measured slower than XLA's fused transposed scatter here.)
+            if cfg.agg_vjp == "gather" and cfg.aggregation == "pna":
+                from hyper_graph_nets_tpu.core.segment_ops import pna_gather
+
+                em = es.mask
+                if em is None:
+                    em = jnp.ones(edge_feats[name].shape[:-1], jnp.float32)
+                parts.append(
+                    pna_gather(
+                        edge_feats[name], es.gather_idx, es.gather_valid,
+                        es.receivers, em,
+                    )
+                )
+                continue
             parts.append(
                 gather_aggregate(
                     edge_feats[name], es.gather_idx, es.gather_valid,

@@ -393,10 +393,16 @@ class HierarchicalConnector:
         # existing edge sets must aggregate into N+K rows now
         for nm, es in edge_sets.items():
             if es.gather_idx is not None:
-                edge_sets[nm] = es.replace(
+                es = es.replace(
                     gather_idx=jnp.pad(es.gather_idx, ((0, K), (0, 0))),
                     gather_valid=jnp.pad(es.gather_valid, ((0, K), (0, 0))),
                 )
+            if es.snd_gather_idx is not None:
+                es = es.replace(
+                    snd_gather_idx=jnp.pad(es.snd_gather_idx, ((0, K), (0, 0))),
+                    snd_gather_valid=jnp.pad(es.snd_gather_valid, ((0, K), (0, 0))),
+                )
+            edge_sets[nm] = es
 
         def mk(name, feats, snd, rcv, mask, gather):
             edge_sets[name] = EdgeSet(
