@@ -55,6 +55,7 @@ def _jax_throughput() -> dict:
             "message_passing_steps": MP_STEPS,
             "compute_dtype": "bfloat16",
             "scan_unroll": MP_STEPS,  # full unroll: XLA fuses across blocks
+            "agg_vjp": "gather",  # scatter-free backward (segment_ops)
             "rmp": {"clustering": "none", "connector": "none"},
             "graph_balancer": {"algorithm": "none"},
         },

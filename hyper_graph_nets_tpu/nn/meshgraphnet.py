@@ -81,7 +81,12 @@ def encoder_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
 
 
 def processor_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
-    """Run the message-passing blocks via lax.scan over stacked params."""
+    """Run the message-passing blocks via lax.scan over stacked params.
+
+    (A python loop over static param slices at full unroll was measured
+    identical to scan-with-unroll on TPU v5e — XLA already folds the
+    per-iteration slices — so the single scan formulation is kept.)
+    """
 
     def body(g, block_params):
         return block_apply(block_params, g, cfg), None

@@ -325,7 +325,7 @@ class HDBSCANClustering(ClusteringAlgorithm):
         if not self.sampling:
             clusters = _labels_to_indices(list(labels))
         else:
-            spotter = self._soft_spotter(graph, labels, result.exemplars)
+            spotter = self._soft_spotter(graph, result)
             exemplars = [list(e) for e in result.exemplars]
             top_k = self.highest_dynamics(graph, labels)
             clusters = [
@@ -339,33 +339,25 @@ class HDBSCANClustering(ClusteringAlgorithm):
             num_clusters=self.num_clusters,
         )
 
-    def _soft_spotter(
-        self, graph: HostGraph, labels: np.ndarray, exemplars: List[List[int]]
-    ) -> List[List[int]]:
-        """Boundary metric 1 - (p1-p2)/(p1+p2) on exemplar-distance
-        memberships (the distance component of hdbscan's
-        all_points_membership_vectors; reference hdbscan.py:90-100)."""
+    def _soft_spotter(self, graph: HostGraph, result) -> List[List[int]]:
+        """Boundary metric 1 - (p1-p2)/(p1+p2) on full soft memberships
+        (distance x condensed-tree outlier components — the equivalent of
+        hdbscan's all_points_membership_vectors; reference hdbscan.py:90-100).
+        Spotters join the cluster of their TOP membership, like the
+        reference's ``indices[spotter_candidates[x][1]].append(x)``."""
         out: List[List[int]] = [[] for _ in range(self.num_clusters)]
         if self.num_clusters < 2:
             return out
-        X = self._standardize(graph)
-        d = np.stack(
-            [
-                np.min(
-                    np.linalg.norm(X[:, None, :] - X[ex][None, :, :], axis=-1),
-                    axis=1,
-                )
-                if ex
-                else np.full(len(X), np.inf)
-                for ex in exemplars
-            ],
-            axis=1,
-        )  # [N, K] distance to nearest exemplar per cluster
-        probs = 1.0 / (d + 1e-9)
+        from hyper_graph_nets_tpu.rmp.hdbscan_tree import membership_vectors
+
+        probs = membership_vectors(result, self._standardize(graph))
+        if probs.shape[1] < 2:
+            return out
         order = np.argsort(-probs, axis=1)
-        p1 = probs[np.arange(len(d)), order[:, 0]]
-        p2 = probs[np.arange(len(d)), order[:, 1]]
-        metric = 1.0 - (p1 - p2) / (p1 + p2)
+        rows = np.arange(len(probs))
+        p1 = probs[rows, order[:, 0]]
+        p2 = probs[rows, order[:, 1]]
+        metric = 1.0 - (p1 - p2) / np.maximum(p1 + p2, 1e-12)
         for i in np.nonzero(metric > self.spotter_threshold)[0]:
             out[order[i, 0]].append(int(i))
         return out

@@ -338,3 +338,118 @@ def hdbscan_fit(
         selected=selected,
         exemplars=exemplars,
     )
+
+
+def membership_vectors(result: HDBSCANResult, X: np.ndarray) -> np.ndarray:
+    """Per-point soft cluster memberships [n, K].
+
+    Mirrors hdbscan's ``all_points_membership_vectors`` (the reference's
+    spotter input, src/rmp/hdbscan.py:90-100): the product of a
+    *distance* component (inverse min distance to each cluster's exemplars)
+    and an *outlier* component (condensed-tree merge height of the point
+    with each cluster over that cluster's max lambda), row-normalized.
+    The reference's final ``prob_in_some_cluster`` scaling multiplies all of
+    a row's entries equally and therefore cannot change the spotter metric
+    ``1 - (p1-p2)/(p1+p2)``; it is omitted.
+    """
+    n = len(X)
+    K = len(result.selected)
+    if K == 0:
+        return np.zeros((n, 0))
+    tree = result.tree
+
+    # ---- distance component: 1 / min distance to exemplars ----------------
+    dist = np.empty((n, K))
+    for k, ex in enumerate(result.exemplars):
+        if ex:
+            dist[:, k] = np.min(
+                np.linalg.norm(X[:, None, :] - np.asarray(X)[ex][None, :, :], axis=-1),
+                axis=1,
+            )
+        else:
+            dist[:, k] = np.inf
+    dist_vec = 1.0 / np.maximum(dist, 1e-8)
+
+    # ---- outlier component: merge heights in the condensed tree -----------
+    # birth lambda and parent of every condensed cluster node
+    birth: Dict[int, float] = {}
+    parent_of: Dict[int, int] = {}
+    for p, c, lam in zip(tree.parent, tree.child, tree.lambda_val):
+        if c >= n:
+            birth[int(c)] = float(lam)
+            parent_of[int(c)] = int(p)
+    root = int(tree.parent.min()) if len(tree.parent) else n
+    birth.setdefault(root, 0.0)
+
+    def path_to_root(node: int) -> List[int]:
+        path = [node]
+        while path[-1] in parent_of:
+            path.append(parent_of[path[-1]])
+        return path
+
+    # max lambda per selected cluster (over its subtree's point rows)
+    children: Dict[int, List[int]] = {}
+    point_rows: Dict[int, List[int]] = {}
+    for i, (p, c) in enumerate(zip(tree.parent, tree.child)):
+        if c >= n:
+            children.setdefault(int(p), []).append(int(c))
+        else:
+            point_rows.setdefault(int(p), []).append(i)
+
+    def subtree(node: int) -> List[int]:
+        out, stack = [node], [node]
+        while stack:
+            x = stack.pop()
+            kids = children.get(x, [])
+            out.extend(kids)
+            stack.extend(kids)
+        return out
+
+    max_lambda = np.empty(K)
+    subtree_sets = []
+    for k, c in enumerate(result.selected):
+        nodes = subtree(int(c))
+        rows = [r for nd in nodes for r in point_rows.get(nd, [])]
+        lams = tree.lambda_val[rows]
+        finite = lams[np.isfinite(lams)]
+        max_lambda[k] = float(finite.max()) if len(finite) else 1.0
+        subtree_sets.append(set(nodes))
+
+    cluster_paths = [path_to_root(int(c)) for c in result.selected]
+
+    # per condensed node: merge lambda with each selected cluster
+    node_merge: Dict[int, np.ndarray] = {}
+
+    def merges_for(node: int) -> np.ndarray:
+        if node in node_merge:
+            return node_merge[node]
+        path = path_to_root(node)
+        path_set = set(path)
+        out = np.empty(K)
+        for k, cpath in enumerate(cluster_paths):
+            if node in subtree_sets[k]:
+                out[k] = np.inf  # own cluster: point's own lambda applies
+                continue
+            # lowest common ancestor: first node of cluster path in our path
+            lca = next(x for x in cpath if x in path_set)
+            # split lambda = birth of the cluster-side child of the LCA
+            idx = cpath.index(lca)
+            out[k] = birth[cpath[idx - 1]] if idx > 0 else birth.get(lca, 0.0)
+        node_merge[node] = out
+        return out
+
+    point_parent = np.full(n, root, np.int64)
+    point_lambda = np.zeros(n)
+    for p, c, lam in zip(tree.parent, tree.child, tree.lambda_val):
+        if c < n:
+            point_parent[int(c)] = int(p)
+            point_lambda[int(c)] = float(lam)
+
+    outlier_vec = np.empty((n, K))
+    for i in range(n):
+        m = np.minimum(merges_for(int(point_parent[i])), point_lambda[i])
+        outlier_vec[i] = np.minimum(m / np.maximum(max_lambda, 1e-12), 1.0)
+
+    member = dist_vec * np.maximum(outlier_vec, 1e-12)
+    member /= np.maximum(member.sum(axis=1, keepdims=True), 1e-12)
+    return member

@@ -58,3 +58,61 @@ def get_from_nested_dict(
 def params(config: dict) -> dict:
     """Return the ``params`` sub-dict (the reference passes this around)."""
     return config.get("params", config)
+
+
+def initialize_config(config: dict, repetition: int = 0) -> dict:
+    """cw2-style experiment-config processing (reference util/InitializeConfig.py:5-76).
+
+    Dead code in the reference's live path, re-implemented for surface
+    completeness: builds the recording structure from the experiment header,
+    resolves per-repetition random seeds ('default' -> repetition index,
+    'tied' -> copy numpy's), and normalizes keys — ``log_``-prefixed values
+    expand to ``2**v`` (tiny negatives round to 0), integer-valued floats
+    become ints.  Returns the processed ``params`` dict.
+    """
+    import copy
+
+    recording = {
+        "_groupname": config.get("_experiment_name"),
+        "_runname": f"{config.get('_experiment_name')}_{repetition}",
+        "_recording_dir": config.get("params", {}).get("_rep_log_path")
+        or config.get("_rep_log_path"),
+        "_job_name": config.get("name"),
+    }
+    iterations = config.get("iterations")
+    out = copy.deepcopy(config.get("params", {}))
+    if "_recording_structure" in out:
+        raise ValueError("may not use pre-defined '_recording_structure' subconfig")
+    if "iterations" in out:
+        raise ValueError("'iterations' must be defined outside of 'params'")
+    out["_recording_structure"] = recording
+    out["iterations"] = iterations
+
+    seeds = dict(out.get("random_seeds") or {})
+    if seeds.get("numpy") == "default":
+        seeds["numpy"] = repetition
+    if seeds.get("pytorch") == "default":
+        seeds["pytorch"] = repetition
+    elif seeds.get("pytorch") == "tied":
+        seeds["pytorch"] = seeds.get("numpy")
+    out["random_seeds"] = seeds
+
+    def process(node):
+        parsed = {}
+        for key, value in node.items():
+            if isinstance(value, dict):
+                parsed[key] = process(value)
+            elif key.startswith("log_"):
+                if isinstance(value, int) and value > 0:
+                    parsed[key.replace("log_", "", 1)] = int(2**value)
+                elif isinstance(value, int) and value < -30:
+                    parsed[key.replace("log_", "", 1)] = 0
+                else:
+                    parsed[key.replace("log_", "", 1)] = 2**value
+            elif isinstance(value, float) and value.is_integer():
+                parsed[key] = int(value)
+            else:
+                parsed[key] = value
+        return parsed
+
+    return process(out)

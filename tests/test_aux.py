@@ -99,3 +99,55 @@ class TestRecorder:
         assert events and events[0]["loss"] == 1.5
         assert os.path.exists(tmp_path / "scalars.jsonl")
         assert os.path.exists(tmp_path / "config.json")
+
+
+class TestInitializeConfig:
+    """cw2-style config processor parity (reference util/InitializeConfig.py)."""
+
+    def _cfg(self):
+        return {
+            "name": "job1",
+            "_experiment_name": "exp",
+            "iterations": 7,
+            "params": {
+                "_rep_log_path": "/tmp/rep0",
+                "random_seeds": {"numpy": "default", "pytorch": "tied"},
+                "model": {"log_batch_size": 4, "lr": 2.0, "log_eps": -40},
+            },
+        }
+
+    def test_recording_structure_and_seeds(self):
+        from hyper_graph_nets_tpu.utils.config import initialize_config
+
+        out = initialize_config(self._cfg(), repetition=3)
+        rs = out["_recording_structure"]
+        assert rs["_groupname"] == "exp"
+        assert rs["_runname"] == "exp_3"
+        assert rs["_recording_dir"] == "/tmp/rep0"
+        assert rs["_job_name"] == "job1"
+        assert out["iterations"] == 7
+        # 'default' -> repetition; 'tied' -> numpy's resolved seed
+        assert out["random_seeds"] == {"numpy": 3, "pytorch": 3}
+
+    def test_log_key_expansion_and_int_coercion(self):
+        from hyper_graph_nets_tpu.utils.config import initialize_config
+
+        out = initialize_config(self._cfg(), repetition=0)
+        model = out["model"]
+        assert model["batch_size"] == 16  # 2**4
+        assert model["eps"] == 0  # < -30 rounds to 0
+        assert model["lr"] == 2 and isinstance(model["lr"], int)
+
+    def test_reserved_keys_rejected(self):
+        import pytest
+
+        from hyper_graph_nets_tpu.utils.config import initialize_config
+
+        cfg = self._cfg()
+        cfg["params"]["_recording_structure"] = {}
+        with pytest.raises(ValueError):
+            initialize_config(cfg)
+        cfg = self._cfg()
+        cfg["params"]["iterations"] = 1
+        with pytest.raises(ValueError):
+            initialize_config(cfg)

@@ -105,3 +105,88 @@ class TestHDBSCANInRMP:
         # behavior: cross-cluster edge endpoints join both sides)
         assert 0 < total <= 2 * topo.num_nodes
         assert all(len(np.unique(c)) == len(c) for c in result.clusters)
+
+
+class TestMembershipVectors:
+    """all_points_membership_vectors equivalent (distance x condensed-tree
+    outlier components; reference hdbscan.py:90-100)."""
+
+    def _blobs(self, seed=0):
+        rng = np.random.RandomState(seed)
+        a = rng.randn(40, 2) * 0.25 + [0, 0]
+        b = rng.randn(40, 2) * 0.25 + [6, 0]
+        c = rng.randn(40, 2) * 0.25 + [3, 5]
+        return np.concatenate([a, b, c])
+
+    def test_rows_normalized_and_own_cluster_dominates(self):
+        from hyper_graph_nets_tpu.rmp.hdbscan_tree import (
+            hdbscan_fit,
+            membership_vectors,
+        )
+
+        X = self._blobs()
+        res = hdbscan_fit(X, min_cluster_size=10, min_samples=3)
+        assert len(res.selected) == 3
+        m = membership_vectors(res, X)
+        assert m.shape == (len(X), 3)
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, rtol=1e-6)
+        # clustered points: top membership == own label for well-separated blobs
+        clustered = res.labels >= 0
+        agree = (np.argmax(m[clustered], axis=1) == res.labels[clustered]).mean()
+        assert agree > 0.95
+
+    def test_boundary_points_have_flatter_membership(self):
+        from hyper_graph_nets_tpu.rmp.hdbscan_tree import (
+            hdbscan_fit,
+            membership_vectors,
+        )
+
+        rng = np.random.RandomState(1)
+        a = rng.randn(50, 2) * 0.3 + [0, 0]
+        b = rng.randn(50, 2) * 0.3 + [3, 0]
+        mid = np.array([[1.5, 0.0]])  # point exactly between the clusters
+        X = np.concatenate([a, b, mid])
+        res = hdbscan_fit(X, min_cluster_size=10, min_samples=3)
+        if len(res.selected) < 2:  # merged -> nothing to assert
+            return
+        m = membership_vectors(res, X)
+        gap = np.abs(m[:, 0] - m[:, 1])
+        # the midpoint's gap is smaller than the typical core point's
+        assert gap[-1] < np.median(gap[:-1])
+
+    def test_spotters_sit_on_cluster_boundaries(self):
+        from hyper_graph_nets_tpu.rmp.clustering import HDBSCANClustering, HostGraph
+
+        rng = np.random.RandomState(2)
+        a = rng.randn(60, 3) * 0.3 + [0, 0, 0]
+        b = rng.randn(60, 3) * 0.3 + [4, 0, 0]
+        X = np.concatenate([a, b]).astype(np.float32)
+        host = HostGraph(
+            target_feature=X,
+            mesh_features=X[:, :2],
+            senders=np.zeros(1, np.int32),
+            receivers=np.zeros(1, np.int32),
+            edge_features=np.zeros((1, 8), np.float32),
+            node_dynamic=np.linalg.norm(X, axis=1),
+            obstacle_mask=None,
+            world_dim=3,
+        )
+        algo = HDBSCANClustering(
+            sampling=True, max_cluster_size=200, min_cluster_size=10,
+            min_samples=3, spotter_threshold=0.3, alpha=0.2,
+        )
+        res = algo.run(host)
+        if res.num_clusters < 2:
+            return
+        spotters = algo._soft_spotter(
+            host, algo._fit(host)
+        )
+        flat = [i for s in spotters for i in s]
+        if flat:
+            # spotters are closer to the opposite cluster than non-spotters
+            centers = np.stack([X[res.labels == k].mean(axis=0) for k in range(2)])
+            other = lambda i: centers[1 - res.labels[i]] if res.labels[i] >= 0 else centers[0]
+            d_spot = np.mean([np.linalg.norm(X[i] - other(i)) for i in flat])
+            rest = [i for i in range(len(X)) if i not in set(flat) and res.labels[i] >= 0]
+            d_rest = np.mean([np.linalg.norm(X[i] - other(i)) for i in rest])
+            assert d_spot <= d_rest
