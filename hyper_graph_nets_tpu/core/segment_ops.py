@@ -230,6 +230,7 @@ def collective_aggregate(
     aggregation: str,
     mask: Optional[Array] = None,
     axis_name: str = "graph",
+    ring: bool = False,
 ) -> Array:
     """Edge-parallel aggregation under shard_map: local partials + collectives.
 
@@ -237,7 +238,15 @@ def collective_aggregate(
     sums combine with ``psum``, max/min with ``pmax``/``pmin`` — the explicit
     halo-exchange pattern (SURVEY.md §7.8) whose collectives ride the ICI
     mesh axis.  Equivalent to the global masked segment ops.
+
+    ``ring=True`` replaces XLA's collectives with ONE Pallas RDMA ring pass
+    (ops.pallas.ring): all of pna's partials (sum / counts / max / min)
+    travel together, combined per segment in the kernel.
     """
+    if ring:
+        return _collective_aggregate_ring(
+            data, segment_ids, num_segments, aggregation, mask, axis_name
+        )
     if mask is not None:
         data_sum = data * mask[..., None]
     else:
@@ -273,6 +282,63 @@ def collective_aggregate(
         return mn
     if aggregation == "pna":
         return jnp.concatenate([total, mean, mx, mn], axis=-1)
+    raise ValueError(f"invalid collective aggregation {aggregation!r}")
+
+
+def _collective_aggregate_ring(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    aggregation: str,
+    mask: Optional[Array],
+    axis_name: str,
+) -> Array:
+    """Ring-RDMA variant: local partials stacked into one payload, a single
+    ring pass combines them (sum rows with add, max/min rows with max/min),
+    then the finished aggregates are assembled locally."""
+    from hyper_graph_nets_tpu.ops.pallas.ring import ring_all_reduce_segments
+
+    if data.ndim != 2:
+        raise ValueError("ring aggregation supports unbatched [E, F] data only")
+    F = data.shape[-1]
+    n = num_segments
+    data_sum = data if mask is None else data * mask[..., None]
+    total = jax.ops.segment_sum(data_sum, segment_ids, n)
+    if aggregation == "sum":
+        out = ring_all_reduce_segments(
+            total.astype(jnp.float32), [(0, n, "sum")], axis_name
+        )
+        return out.astype(data.dtype)
+
+    ones = jnp.ones(data.shape[:-1], dtype=jnp.float32)
+    if mask is not None:
+        ones = ones * mask
+    counts = jax.ops.segment_sum(ones, segment_ids, n)[..., None]
+    counts = jnp.broadcast_to(counts, (n, F))
+
+    d_mx = data if mask is None else jnp.where(mask[..., None] > 0, data, _NEG_INF)
+    mx = jax.ops.segment_max(d_mx, segment_ids, n)
+    d_mn = data if mask is None else jnp.where(mask[..., None] > 0, data, _POS_INF)
+    mn = jax.ops.segment_min(d_mn, segment_ids, n)
+
+    payload = jnp.concatenate(
+        [total, counts, mx, mn], axis=0
+    ).astype(jnp.float32)
+    segments = [(0, n, "sum"), (n, 2 * n, "sum"), (2 * n, 3 * n, "max"), (3 * n, 4 * n, "min")]
+    combined = ring_all_reduce_segments(payload, segments, axis_name)
+    total = combined[:n]
+    counts = combined[n : 2 * n]
+    mx = jnp.where(combined[2 * n : 3 * n] <= _NEG_INF / 2, 0.0, combined[2 * n : 3 * n])
+    mn = jnp.where(combined[3 * n :] >= _POS_INF / 2, 0.0, combined[3 * n :])
+    mean = total / jnp.maximum(counts, 1.0)
+    if aggregation == "mean":
+        return mean.astype(data.dtype)
+    if aggregation == "max":
+        return mx.astype(data.dtype)
+    if aggregation == "min":
+        return mn.astype(data.dtype)
+    if aggregation == "pna":
+        return jnp.concatenate([total, mean, mx, mn], axis=-1).astype(data.dtype)
     raise ValueError(f"invalid collective aggregation {aggregation!r}")
 
 

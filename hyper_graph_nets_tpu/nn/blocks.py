@@ -79,6 +79,9 @@ class GNNConfig:
     # set under shard_map edge partitioning: aggregations combine local
     # partials with psum/pmax/pmin over this mesh axis (parallel/halo.py)
     axis_name: Optional[str] = None
+    # with axis_name set: combine partials via the Pallas RDMA ring
+    # (ops/pallas/ring.py) instead of XLA collectives
+    halo_ring: bool = False
     # rematerialize each MP block in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for O(1) instead of O(mp_steps) activation
     # memory — enables deep processors on large meshes
@@ -233,10 +236,11 @@ def _aggregate_sets(
         es = graph.edge_sets[name]
         if cfg.axis_name is not None:
             # shard_map edge partitioning: local partials + psum/pmax/pmin
+            # (or one Pallas RDMA ring pass when halo_ring is set)
             parts.append(
                 collective_aggregate(
                     edge_feats[name], es.receivers, num_total, cfg.aggregation,
-                    es.mask, cfg.axis_name,
+                    es.mask, cfg.axis_name, ring=cfg.halo_ring,
                 )
             )
             continue

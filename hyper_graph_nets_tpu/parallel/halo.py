@@ -6,9 +6,10 @@ communication schedule is wanted: edges are partitioned across the 'graph'
 mesh axis, node latents are replicated, and every aggregation combines
 device-local partial sums with psum/pmax/pmin over ICI
 (core.segment_ops.collective_aggregate).  This is the owner-computes
-halo-exchange pattern of SURVEY.md §7.8; Pallas
-``make_async_remote_copy``-based overlap can be slotted into
-collective_aggregate without touching the model code.
+halo-exchange pattern of SURVEY.md §7.8.  With ``ring=True`` the partials
+ride the Pallas ``make_async_remote_copy`` RDMA ring
+(ops/pallas/ring.py) instead of XLA collectives — one ring pass carries
+all pna partials with per-segment combines.
 
 Forward-only by design: for training, prefer the GSPMD step where XLA
 derives the exact transposed collectives for the backward pass.
@@ -59,13 +60,19 @@ def strip_gather(graph: Graph) -> Graph:
     )
 
 
-def make_halo_forward(model: SystemModel, mesh: Mesh):
+def make_halo_forward(model: SystemModel, mesh: Mesh, ring: bool = False):
     """Build a shard_map forward: fn(params, graph) -> [N, out].
 
     ``graph`` must have edge counts divisible by the 'graph' axis size (pad
-    with parallel/sharding.shard_topology conventions).
+    with parallel/sharding.shard_topology conventions).  ``ring=True``
+    combines aggregation partials with the Pallas RDMA ring
+    (ops/pallas/ring.py) instead of XLA psum/pmax/pmin — the explicit
+    compute/communication schedule; on non-TPU backends the ring runs in
+    Pallas interpret mode.
     """
-    cfg = dataclasses.replace(model.gnn_config, axis_name="graph")
+    cfg = dataclasses.replace(
+        model.gnn_config, axis_name="graph", halo_ring=ring
+    )
 
     def local_forward(params, graph):
         return network_apply(params, graph, cfg)
