@@ -89,8 +89,14 @@ class GNNConfig:
     # 'xla': XLA AD differentiates gather_aggregate (backward = transposed
     # scatter); 'gather': custom VJP routes node cotangents back to edges
     # with pure gathers (segment_ops.pna_gather) — scatter-free backward,
-    # the TPU fast path for static topology + pna
+    # the TPU fast path for static topology + pna; 'sorted': Pallas
+    # segmented-scan kernel (ops/pallas/segment_pna) for receiver-sorted
+    # edge sets (sorted_edge_sets), scatter-free fwd AND bwd on the MXU
     agg_vjp: str = "xla"
+    # edge sets whose receivers are non-decreasing with masked edges at the
+    # tail (core.mesh.cells_to_edges lexsorts by receiver) — eligible for
+    # the 'sorted' Pallas aggregation path
+    sorted_edge_sets: Tuple[str, ...] = ("mesh_edges",)
 
     @property
     def edge_sets(self) -> Tuple[str, ...]:
@@ -244,6 +250,30 @@ def _aggregate_sets(
                 )
             )
             continue
+        if (
+            cfg.agg_vjp == "sorted"
+            and cfg.aggregation == "pna"
+            and name in cfg.sorted_edge_sets
+        ):
+            # Pallas segmented-scan kernel: per-node-block contiguous edge
+            # ranges -> VPU segment scans + one-hot MXU selection; no
+            # scatters or gathers in either pass (ops/pallas/segment_pna).
+            from hyper_graph_nets_tpu.ops.pallas.segment_pna import (
+                MAX_EDGE_BLOCK_BYTES,
+                pna_sorted,
+            )
+
+            f = edge_feats[name]
+            if f.shape[-2] * f.shape[-1] * 4 <= MAX_EDGE_BLOCK_BYTES:
+                seg_max = (
+                    es.gather_idx.shape[-1]
+                    if es.gather_idx is not None
+                    else 64
+                )
+                parts.append(
+                    pna_sorted(f, es.receivers, es.mask, num_total, seg_max)
+                )
+                continue
         if es.gather_idx is not None:
             # fast path: one gather over the static neighbor matrix feeds
             # all pna reductions (sum/mean/max/min) in a single pass.
