@@ -1,0 +1,814 @@
+"""Fused Pallas MP-block kernel: gather -> edge MLP -> LayerNorm -> pna.
+
+The per-op decomposition of the train step (tools/perf_probe_block.py,
+BENCHMARKS.md) shows the matmul floor is ~23 ms of the ~101 ms step; the
+rest is LayerNorms (+17), sender/receiver gathers (+31) and the pna
+aggregation (+31) — each a bandwidth/latency-bound XLA op chain between
+HBM round trips.  This kernel fuses the entire edge half of a message-
+passing block (reference src/migration/graphnet.py:22-64) into one VMEM-
+resident pass:
+
+    h   = e @ We + SP[snd] + RP[rcv] + b1        (banded one-hot gathers)
+    e2  = e + LN(relu(relu(h) @ W2 + b2) @ W3 + b3)
+    agg = pna(e2 -> nodes)                        (segmented scans + select)
+
+TPU-first mechanics:
+
+- **Banded gathers.** Edges are receiver-sorted (core/mesh.py:53) and mesh
+  node numberings are banded (grid meshes natively; general meshes via
+  ``ops.reorder.rcm_order``), so each 512-edge chunk's senders/receivers
+  fall in a narrow node window.  The gather is then a one-hot matmul
+  ``[T, W] @ [W, L]`` on the MXU — exact at DEFAULT precision (one-hot x
+  bf16), no per-element addressing, no scatter in the backward.
+- **Window starts** are host-precomputed per chunk (``build_band_plan``)
+  and read from SMEM; window loads are dynamic *sublane* slices (aligned
+  to 16 on the host), which Mosaic supports — dynamic lane indexing is
+  avoided throughout via BlockSpec row/column blocks.
+- **Aggregation** reuses the segmented-scan + last-edge-selection design
+  of ops/pallas/segment_pna (same receiver-sorted contiguity argument),
+  accumulated across chunks into a VMEM-resident ``[N, 4L]`` f32 block
+  that is written back to HBM once per batch element.
+- **LayerNorm** runs on the VPU with f32 statistics between the chunk's
+  matmuls — no separate HBM round trip, no f32 stream blow-up.
+
+The backward is a second hand-written kernel (same banded structure,
+transposed one-hots built from the row layout) that recomputes the chunk
+activations from VMEM-resident inputs (remat) and emits the edge/node
+cotangents plus activation streams from which XLA computes the weight
+gradients as large dense matmuls.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+T_DEFAULT = 512
+_BIG = 1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BandPlan(NamedTuple):
+    """Static banded-window plan for one receiver-sorted edge set.
+
+    All static dimensions are encoded in array shapes so the plan can ride
+    the Graph pytree (zero-size ``*_tag`` arrays carry W / WR / scan_steps).
+    """
+
+    w_s: Array  # [1, C] int32: per-chunk sender-window start (16-aligned)
+    r_lo: Array  # [1, C] int32: per-chunk receiver-window start (8-aligned)
+    snd_col: Array  # [C, T, 1] int32: window-local sender ids (sentinel W)
+    rcv_col: Array  # [C, T, 1] int32: window-local receiver ids (sentinel WR)
+    snd_row: Array  # [C, 1, T] int32: sender ids, row layout (bwd one-hots)
+    rcv_row: Array  # [C, 1, T] int32: receiver ids, row layout
+    m_col: Array  # [C, T, 1] f32: edge validity mask
+    w_tag: Array  # [W, 0] uint8 (shape-only)
+    wr_tag: Array  # [WR, 0] uint8 (shape-only)
+    s_tag: Array  # [scan_steps, 0] uint8 (shape-only)
+
+    @property
+    def T(self) -> int:
+        return self.snd_col.shape[1]
+
+    @property
+    def C(self) -> int:
+        return self.snd_col.shape[0]
+
+    @property
+    def W(self) -> int:
+        return self.w_tag.shape[0]
+
+    @property
+    def WR(self) -> int:
+        return self.wr_tag.shape[0]
+
+    @property
+    def scan_steps(self) -> int:
+        return self.s_tag.shape[0]
+
+
+def build_band_plan(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    num_valid: Optional[int] = None,
+    chunk: int = T_DEFAULT,
+    max_window: int = 2048,
+) -> BandPlan:
+    """Host: static banded-window plan for a receiver-sorted edge set.
+
+    ``num_valid``: count of real (unmasked) edges; the tail is padding.
+    Raises ``ValueError`` when any chunk's sender/receiver span exceeds
+    ``max_window`` (caller falls back to the unfused path; apply
+    ``ops.reorder.rcm_order`` first for general meshes).
+    """
+    snd = np.asarray(senders, np.int64)
+    rcv = np.asarray(receivers, np.int64)
+    E = snd.shape[0]
+    ev = E if num_valid is None else int(num_valid)
+    if ev and np.any(np.diff(rcv[:ev]) < 0):
+        raise ValueError("receivers are not sorted; band plan needs sorting")
+    C = max(_round_up(E, chunk) // chunk, 1)
+    E_pad = C * chunk
+    mask = np.zeros(E_pad, np.float32)
+    mask[:ev] = 1.0
+
+    w_s = np.zeros(C, np.int32)
+    r_lo = np.zeros(C, np.int32)
+    snd_loc = np.zeros(E_pad, np.int32)
+    rcv_loc = np.zeros(E_pad, np.int32)
+    W = WR = 128
+    seg_max = 1
+    for c in range(C):
+        sl = slice(c * chunk, min((c + 1) * chunk, ev))
+        if sl.start >= ev:  # all-padding chunk
+            w_s[c] = 0
+            r_lo[c] = 0
+            continue
+        cs, cr = snd[sl], rcv[sl]
+        ws = (int(cs.min()) // 16) * 16
+        rl = (int(cr.min()) // 8) * 8
+        w_need = _round_up(int(cs.max()) - ws + 1, 128)
+        wr_need = _round_up(int(cr.max()) - rl + 1, 128)
+        if w_need > max_window or wr_need > max_window:
+            raise ValueError(
+                f"chunk {c}: window {max(w_need, wr_need)} exceeds "
+                f"max_window={max_window}; reorder the mesh (rcm_order)"
+            )
+        W = max(W, w_need)
+        WR = max(WR, wr_need)
+        w_s[c] = ws
+        r_lo[c] = rl
+        snd_loc[sl] = cs - ws
+        rcv_loc[sl] = cr - rl
+        runs = np.diff(np.flatnonzero(np.r_[True, np.diff(cr) != 0, True]))
+        seg_max = max(seg_max, int(runs.max()))
+    # windows must stay inside the padded node space
+    n_r8 = _round_up(num_nodes, 8)
+    if int(w_s.max()) + W > _round_up(num_nodes, 16) + 16 or (
+        int(r_lo.max()) + WR > n_r8 + 8
+    ):
+        # widen the node padding requirement instead of failing: the
+        # wrapper pads SP/RP/agg rows to cover the largest window
+        pass
+    # sentinels: padded edges select no window row and no agg row
+    snd_loc[mask == 0] = W
+    rcv_loc[mask == 0] = WR
+
+    steps = 0
+    while (1 << steps) < min(seg_max, chunk):
+        steps += 1
+    return BandPlan(
+        w_s=jnp.asarray(w_s).reshape(1, C),
+        r_lo=jnp.asarray(r_lo).reshape(1, C),
+        snd_col=jnp.asarray(snd_loc.reshape(C, chunk, 1)),
+        rcv_col=jnp.asarray(rcv_loc.reshape(C, chunk, 1)),
+        snd_row=jnp.asarray(snd_loc.reshape(C, 1, chunk)),
+        rcv_row=jnp.asarray(rcv_loc.reshape(C, 1, chunk)),
+        m_col=jnp.asarray(mask.reshape(C, chunk, 1)),
+        w_tag=jnp.zeros((W, 0), jnp.uint8),
+        wr_tag=jnp.zeros((WR, 0), jnp.uint8),
+        s_tag=jnp.zeros((max(steps, 1), 0), jnp.uint8),
+    )
+
+
+def plan_node_rows(plan: BandPlan, num_nodes: int) -> int:
+    """Padded node-row count the kernel windows may touch."""
+    n = _round_up(num_nodes, 16)
+    n = max(n, int(jax.device_get(plan.w_s).max()) + plan.W)
+    n = max(n, int(jax.device_get(plan.r_lo).max()) + plan.WR)
+    return _round_up(n, 16)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    ws_ref,  # SMEM (1, C) int32
+    rlo_ref,  # SMEM (1, C) int32
+    e_ref,  # (1, T, L) bf16/f32: edge features chunk
+    sp_ref,  # (1, Nr, L): sender node parts (nodes @ Ws)
+    rp_ref,  # (1, Nr, L): receiver node parts
+    sndT_ref,  # (1, T, 1) int32 window-local senders
+    rcvT_ref,  # (1, T, 1) int32 window-local receivers
+    rcvrow_ref,  # (1, 1, T) int32 window-local receivers, row layout
+    mT_ref,  # (1, T, 1) f32 mask
+    we_ref,  # (L, L)
+    w2_ref,  # (L, L)
+    w3_ref,  # (L, L)
+    b1_ref,  # (1, L)
+    b2_ref,  # (1, L)
+    b3_ref,  # (1, L)
+    lns_ref,  # (1, L)
+    lnb_ref,  # (1, L)
+    e2_ref,  # out (1, T, L)
+    agg_ref,  # out (1, Nr, 4L) f32, VMEM-resident per batch element
+    *,
+    L: int,
+    W: int,
+    WR: int,
+    C: int,
+    scan_steps: int,
+    cdt,
+):
+    c = pl.program_id(1)
+    Tc = e_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _init():
+        agg_ref[0, :, : 2 * L] = jnp.zeros_like(agg_ref[0, :, : 2 * L])
+        agg_ref[0, :, 2 * L : 3 * L] = jnp.full_like(
+            agg_ref[0, :, 2 * L : 3 * L], -_BIG
+        )
+        agg_ref[0, :, 3 * L :] = jnp.full_like(agg_ref[0, :, 3 * L :], _BIG)
+
+    ws = pl.multiple_of(ws_ref[0, c], 16)
+    rlo = pl.multiple_of(rlo_ref[0, c], 8)
+
+    e = e_ref[0].astype(cdt)  # [T, L]
+    snd_col = sndT_ref[0]  # [T, 1]
+    rcv_col = rcvT_ref[0]  # [T, 1]
+    m_col = mT_ref[0]  # [T, 1] f32
+
+    # --- banded one-hot gathers (exact: one-hot x bf16, f32 accumulate)
+    oh_s = (
+        jax.lax.broadcasted_iota(jnp.int32, (Tc, W), 1) == snd_col
+    ).astype(cdt)
+    oh_r = (
+        jax.lax.broadcasted_iota(jnp.int32, (Tc, WR), 1) == rcv_col
+    ).astype(cdt)
+    spw = sp_ref[0, pl.ds(ws, W), :].astype(cdt)  # [W, L]
+    rpw = rp_ref[0, pl.ds(rlo, WR), :].astype(cdt)  # [WR, L]
+    # Mosaic requires 32-bit matmul accumulators; round to the compute
+    # dtype after, matching XLA's bf16-out MXU semantics.
+    sp_rows = jnp.dot(oh_s, spw, preferred_element_type=jnp.float32).astype(cdt)
+    rp_rows = jnp.dot(oh_r, rpw, preferred_element_type=jnp.float32).astype(cdt)
+
+    # --- edge MLP (matches nn/mlp._dense + mlp_apply_tail semantics)
+    ep = jnp.dot(
+        e, we_ref[...].astype(cdt), preferred_element_type=jnp.float32
+    ).astype(cdt)
+    h = ep + sp_rows + rp_rows + b1_ref[...].astype(cdt)
+    a1 = jnp.maximum(h, 0)
+    z2 = (
+        jnp.dot(
+            a1, w2_ref[...].astype(cdt), preferred_element_type=jnp.float32
+        ).astype(cdt)
+        + b2_ref[...].astype(cdt)
+    )
+    a2 = jnp.maximum(z2, 0)
+    z3 = (
+        jnp.dot(
+            a2, w3_ref[...].astype(cdt), preferred_element_type=jnp.float32
+        ).astype(cdt)
+        + b3_ref[...].astype(cdt)
+    )
+
+    # --- LayerNorm (f32 statistics, VPU)
+    z32 = z3.astype(jnp.float32)
+    mu = jnp.mean(z32, axis=-1, keepdims=True)
+    xc = z32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xhat = xc * jax.lax.rsqrt(var + 1e-5)
+    o = xhat * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
+        jnp.float32
+    )
+    e2 = e + o.astype(cdt)
+    e2_ref[0] = e2.astype(e2_ref.dtype)
+
+    # --- pna aggregation of e2 (segmented scans, cf. segment_pna)
+    d = e2.astype(jnp.float32)
+    valid = m_col > 0.0
+    dw = d * m_col
+    cw = m_col
+    dmx = jnp.where(valid, d, -_BIG)
+    dmn = jnp.where(valid, d, _BIG)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
+    k = 1
+    for _ in range(scan_steps):
+        same = (rcv_col == pltpu.roll(rcv_col, k, axis=0)) & (riota >= k)
+        dw = jnp.where(same, dw + pltpu.roll(dw, k, axis=0), dw)
+        cw = jnp.where(same, cw + pltpu.roll(cw, k, axis=0), cw)
+        dmx = jnp.where(same, jnp.maximum(dmx, pltpu.roll(dmx, k, axis=0)), dmx)
+        dmn = jnp.where(same, jnp.minimum(dmn, pltpu.roll(dmn, k, axis=0)), dmn)
+        k *= 2
+
+    rrow = rcvrow_ref[0]  # [1, T] window-local
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
+    nxt = pltpu.roll(rrow, Tc - 1, axis=1)
+    is_last = ((rrow != nxt) | (ciota == Tc - 1)).astype(jnp.float32)
+    ohl = (
+        jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rrow
+    ).astype(jnp.float32) * is_last  # [WR, T]
+
+    vals = jnp.concatenate([dw, dmx, dmn], axis=-1).astype(cdt)  # [T, 3L]
+    sel = jnp.dot(
+        ohl.astype(cdt), vals, preferred_element_type=jnp.float32
+    )  # [WR, 3L]
+    cnt = jnp.dot(
+        ohl.astype(cdt), cw.astype(cdt), preferred_element_type=jnp.float32
+    )  # [WR, 1]
+    pres = jnp.sum(ohl, axis=1, keepdims=True) > 0.0
+
+    cur = agg_ref[0, pl.ds(rlo, WR), :]
+    new_sum = cur[:, :L] + sel[:, :L]
+    new_cnt = cur[:, L : 2 * L] + jnp.broadcast_to(cnt, (WR, L))
+    new_mx = jnp.where(
+        pres, jnp.maximum(cur[:, 2 * L : 3 * L], sel[:, L : 2 * L]),
+        cur[:, 2 * L : 3 * L],
+    )
+    new_mn = jnp.where(
+        pres, jnp.minimum(cur[:, 3 * L :], sel[:, 2 * L :]),
+        cur[:, 3 * L :],
+    )
+    agg_ref[0, pl.ds(rlo, WR), :] = jnp.concatenate(
+        [new_sum, new_cnt, new_mx, new_mn], axis=-1
+    )
+
+    @pl.when(c == C - 1)
+    def _finalize():
+        s = agg_ref[0, :, :L]
+        n = agg_ref[0, :, L : 2 * L]
+        mx = agg_ref[0, :, 2 * L : 3 * L]
+        mn = agg_ref[0, :, 3 * L :]
+        agg_ref[0, :, L : 2 * L] = s / jnp.maximum(n, 1.0)
+        agg_ref[0, :, 2 * L : 3 * L] = jnp.where(mx <= -_BIG / 2, 0.0, mx)
+        agg_ref[0, :, 3 * L :] = jnp.where(mn >= _BIG / 2, 0.0, mn)
+
+
+def _fwd_call(
+    e_pad: Array,  # [B, C*T, L]
+    sp: Array,  # [B, Nr, L]
+    rp: Array,  # [B, Nr, L]
+    weights: dict,
+    plan: BandPlan,
+    interpret: bool,
+) -> Tuple[Array, Array]:
+    B, E_pad, L = e_pad.shape
+    Nr = sp.shape[1]
+    T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
+    cdt = e_pad.dtype
+    kernel = functools.partial(
+        _fwd_kernel,
+        L=L,
+        W=W,
+        WR=WR,
+        C=C,
+        scan_steps=plan.scan_steps,
+        cdt=cdt,
+    )
+    row = lambda a: a.reshape(1, -1)
+    e2, agg = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, E_pad, L), e_pad.dtype),
+            jax.ShapeDtypeStruct((B, Nr, 4 * L), jnp.float32),
+        ),
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, T), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, Nr, 4 * L), lambda b, c: (b, 0, 0)),
+        ),
+        interpret=interpret,
+    )(
+        plan.w_s,
+        plan.r_lo,
+        e_pad,
+        sp,
+        rp,
+        plan.snd_col,
+        plan.rcv_col,
+        plan.rcv_row,
+        plan.m_col,
+        weights["we"],
+        weights["w2"],
+        weights["w3"],
+        row(weights["b1"]),
+        row(weights["b2"]),
+        row(weights["b3"]),
+        row(weights["lns"]),
+        row(weights["lnb"]),
+    )
+    return e2, agg
+
+
+def fused_edge_block(
+    e: Array,  # [E, L] or [B, E, L] edge features (receiver-sorted)
+    sp: Array,  # [N, L] or [B, N, L] sender node parts
+    rp: Array,  # receiver node parts
+    weights: dict,  # we/w2/w3 [L,L], b1/b2/b3 [L], lns/lnb [L]
+    plan: BandPlan,
+    num_nodes: int,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Fused edge update + pna aggregation.
+
+    Returns ``(e2, agg)`` where ``e2 = e + MLP_LN([x_snd, x_rcv, e])`` with
+    the factored first layer already split into ``sp``/``rp``/``we`` parts
+    (blocks._update_edge_features), and ``agg`` is the [.., num_nodes, 4L]
+    f32 pna aggregate of ``e2``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    squeeze = e.ndim == 2
+    e3 = e[None] if squeeze else e
+    sp3 = sp[None] if squeeze else sp
+    rp3 = rp[None] if squeeze else rp
+    B, E, L = e3.shape
+    E_pad = plan.C * plan.T
+    Nr = plan_node_rows(plan, num_nodes)
+    e_pad = jnp.pad(e3, ((0, 0), (0, E_pad - E), (0, 0)))
+    sp_pad = jnp.pad(sp3, ((0, 0), (0, Nr - sp3.shape[1]), (0, 0)))
+    rp_pad = jnp.pad(rp3, ((0, 0), (0, Nr - rp3.shape[1]), (0, 0)))
+    # restrict to the edge-side keys so the custom-VJP cotangent structure
+    # matches (callers may pass a larger per-block dict)
+    wk = {
+        k: weights[k]
+        for k in ("we", "w2", "w3", "b1", "b2", "b3", "lns", "lnb")
+    }
+    e2, agg = _fused_vjp(e_pad, sp_pad, rp_pad, wk, plan, interpret)
+    e2 = e2[:, :E, :]
+    agg = agg[:, :num_nodes, :]
+    if squeeze:
+        e2, agg = e2[0], agg[0]
+    return e2, agg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_vjp(e_pad, sp, rp, weights, plan, interpret):
+    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret)
+    return e2, agg
+
+
+def _fused_fwd(e_pad, sp, rp, weights, plan, interpret):
+    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret)
+    return (e2, agg), (e_pad, sp, rp, weights, agg)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    ws_ref,  # SMEM (1, C) int32
+    rlo_ref,  # SMEM (1, C) int32
+    e_ref,  # (1, T, L): forward edge features chunk
+    sp_ref,  # (1, Nr, L)
+    rp_ref,  # (1, Nr, L)
+    de2_ref,  # (1, T, L): downstream cotangent of e2
+    drhs_ref,  # (1, Nr, 5L) f32: [g_sum + g_mean/deg | mx | g_max | mn | g_min]
+    sndT_ref,  # (1, T, 1) int32
+    rcvT_ref,  # (1, T, 1) int32
+    sndrow_ref,  # (1, 1, T) int32
+    rcvrow_ref,  # (1, 1, T) int32
+    mT_ref,  # (1, T, 1) f32
+    we_ref,
+    w2_ref,
+    w3_ref,
+    weT_ref,  # transposed weights (host-side)
+    w2T_ref,
+    w3T_ref,
+    b1_ref,
+    b2_ref,
+    b3_ref,
+    lns_ref,
+    de_ref,  # out (1, T, L): cotangent to e
+    dh_ref,  # out (1, T, L): stream for dWe (= e^T dh) and db1
+    dz2_ref,  # out (1, T, L): stream for dW2
+    dz3_ref,  # out (1, T, L): stream for dW3
+    a1_ref,  # out (1, T, L): recomputed activation stream
+    a2_ref,  # out (1, T, L)
+    dsp_ref,  # out (1, Nr, L) f32, resident: sender-part cotangent
+    drp_ref,  # out (1, Nr, L) f32, resident
+    dpar_ref,  # out (1, 8, L) f32, resident: db1|db2|db3|dlns|dlnb rows
+    *,
+    L: int,
+    W: int,
+    WR: int,
+    C: int,
+    cdt,
+):
+    c = pl.program_id(1)
+    Tc = e_ref.shape[1]
+    f32 = jnp.float32
+
+    @pl.when(c == 0)
+    def _init():
+        dsp_ref[...] = jnp.zeros_like(dsp_ref)
+        drp_ref[...] = jnp.zeros_like(drp_ref)
+        dpar_ref[...] = jnp.zeros_like(dpar_ref)
+
+    ws = pl.multiple_of(ws_ref[0, c], 16)
+    rlo = pl.multiple_of(rlo_ref[0, c], 8)
+
+    e = e_ref[0].astype(cdt)
+    snd_col = sndT_ref[0]
+    rcv_col = rcvT_ref[0]
+    m_col = mT_ref[0]
+
+    # --- recompute the forward chunk (remat: everything is VMEM-resident)
+    oh_s = (
+        jax.lax.broadcasted_iota(jnp.int32, (Tc, W), 1) == snd_col
+    ).astype(cdt)
+    oh_r = (
+        jax.lax.broadcasted_iota(jnp.int32, (Tc, WR), 1) == rcv_col
+    ).astype(cdt)
+    spw = sp_ref[0, pl.ds(ws, W), :].astype(cdt)
+    rpw = rp_ref[0, pl.ds(rlo, WR), :].astype(cdt)
+    sp_rows = jnp.dot(oh_s, spw, preferred_element_type=f32).astype(cdt)
+    rp_rows = jnp.dot(oh_r, rpw, preferred_element_type=f32).astype(cdt)
+    ep = jnp.dot(
+        e, we_ref[...].astype(cdt), preferred_element_type=f32
+    ).astype(cdt)
+    h = ep + sp_rows + rp_rows + b1_ref[...].astype(cdt)
+    a1 = jnp.maximum(h, 0)
+    z2 = (
+        jnp.dot(
+            a1, w2_ref[...].astype(cdt), preferred_element_type=f32
+        ).astype(cdt)
+        + b2_ref[...].astype(cdt)
+    )
+    a2 = jnp.maximum(z2, 0)
+    z3 = (
+        jnp.dot(
+            a2, w3_ref[...].astype(cdt), preferred_element_type=f32
+        ).astype(cdt)
+        + b3_ref[...].astype(cdt)
+    )
+    z32 = z3.astype(f32)
+    mu = jnp.mean(z32, axis=-1, keepdims=True)
+    xc = z32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv_sigma = jax.lax.rsqrt(var + 1e-5)
+    xhat = xc * inv_sigma
+    lns = lns_ref[0:1, :].astype(f32)  # lns_ref block is [2, L]: [lns; lnb]
+    lnb = lns_ref[1:2, :].astype(f32)
+    o = xhat * lns + lnb
+    e2v = (e + o.astype(cdt)).astype(f32)  # exact forward e2 (tie compare)
+
+    # --- aggregation cotangent routed back to this chunk's edges
+    ohT = oh_r  # [T, WR] — same one-hot, selection direction
+    rhsw = drhs_ref[0, pl.ds(rlo, WR), :].astype(cdt)  # [WR, 5L]
+    got = jnp.dot(ohT, rhsw, preferred_element_type=f32)  # [T, 5L]
+
+    route = got[:, :L]
+    route = route + jnp.where(
+        e2v == got[:, L : 2 * L], got[:, 2 * L : 3 * L], 0.0
+    )
+    route = route + jnp.where(
+        e2v == got[:, 3 * L : 4 * L], got[:, 4 * L :], 0.0
+    )
+    route = route * m_col
+
+    de2_tot = de2_ref[0].astype(f32) + route  # [T, L] f32
+
+    # --- LayerNorm backward (f32)
+    do = de2_tot
+    dxhat = do * lns
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dz3 = ((dxhat - m1 - xhat * m2) * inv_sigma).astype(cdt)
+
+    # --- MLP backward (transposed weights precomputed on host)
+    da2 = jnp.dot(
+        dz3, w3T_ref[...].astype(cdt), preferred_element_type=f32
+    ).astype(cdt)
+    # compare in f32: Mosaic on this target rejects bf16 comparisons
+    dz2 = jnp.where(z2.astype(f32) > 0, da2, 0)
+    da1 = jnp.dot(
+        dz2, w2T_ref[...].astype(cdt), preferred_element_type=f32
+    ).astype(cdt)
+    dh = jnp.where(h.astype(f32) > 0, da1, 0)
+    de = (
+        de2_tot
+        + jnp.dot(
+            dh, weT_ref[...].astype(cdt), preferred_element_type=f32
+        )
+    ).astype(cdt)
+
+    de_ref[0] = de.astype(de_ref.dtype)
+    dh_ref[0] = dh.astype(dh_ref.dtype)
+    dz2_ref[0] = dz2.astype(dz2_ref.dtype)
+    dz3_ref[0] = dz3.astype(dz3_ref.dtype)
+    a1_ref[0] = a1.astype(a1_ref.dtype)
+    a2_ref[0] = a2.astype(a2_ref.dtype)
+
+    # --- node-part cotangents: transposed one-hot scatter (RMW, race-free
+    # on the sequential TPU grid)
+    ohs_T = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, Tc), 0) == sndrow_ref[0]
+    ).astype(cdt)  # [W, T]
+    ohr_T = (
+        jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rcvrow_ref[0]
+    ).astype(cdt)  # [WR, T]
+    dsp_w = jnp.dot(ohs_T, dh, preferred_element_type=f32)
+    drp_w = jnp.dot(ohr_T, dh, preferred_element_type=f32)
+    dsp_ref[0, pl.ds(ws, W), :] = dsp_ref[0, pl.ds(ws, W), :] + dsp_w
+    drp_ref[0, pl.ds(rlo, WR), :] = drp_ref[0, pl.ds(rlo, WR), :] + drp_w
+
+    # --- bias / LN parameter gradients (row 0..4 of dpar)
+    ones = jnp.ones((1, Tc), f32)
+    upd = jnp.concatenate(
+        [
+            jnp.dot(ones, dh.astype(f32), preferred_element_type=f32),
+            jnp.dot(ones, dz2.astype(f32), preferred_element_type=f32),
+            jnp.dot(ones, dz3.astype(f32), preferred_element_type=f32),
+            jnp.dot(ones, do * xhat, preferred_element_type=f32),
+            jnp.dot(ones, do, preferred_element_type=f32),
+        ],
+        axis=0,
+    )  # [5, L]
+    pad = jnp.zeros((3, L), f32)
+    dpar_ref[0] = dpar_ref[0] + jnp.concatenate([upd, pad], axis=0)
+
+
+def _bwd_call(
+    e_pad: Array,
+    sp: Array,
+    rp: Array,
+    weights: dict,
+    de2_pad: Array,
+    drhs: Array,  # [B, Nr, 5L] f32
+    plan: BandPlan,
+    interpret: bool,
+):
+    B, E_pad, L = e_pad.shape
+    Nr = sp.shape[1]
+    T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
+    cdt = e_pad.dtype
+    kernel = functools.partial(
+        _bwd_kernel, L=L, W=W, WR=WR, C=C, cdt=cdt
+    )
+    row = lambda a: a.reshape(1, -1)
+    ln2 = jnp.stack([weights["lns"], weights["lnb"]])  # [2, L]
+    tr = lambda w: jnp.swapaxes(w, -1, -2)
+    s_es = jax.ShapeDtypeStruct((B, E_pad, L), e_pad.dtype)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            s_es,  # de
+            s_es,  # dh
+            s_es,  # dz2
+            s_es,  # dz3
+            s_es,  # a1
+            s_es,  # a2
+            jax.ShapeDtypeStruct((B, Nr, L), jnp.float32),  # dsp
+            jax.ShapeDtypeStruct((B, Nr, L), jnp.float32),  # drp
+            jax.ShapeDtypeStruct((B, 8, L), jnp.float32),  # dpar
+        ),
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, Nr, 5 * L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, T), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, T), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((2, L), lambda b, c: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, 8, L), lambda b, c: (b, 0, 0)),
+        ),
+        interpret=interpret,
+    )(
+        plan.w_s,
+        plan.r_lo,
+        e_pad,
+        sp,
+        rp,
+        de2_pad,
+        drhs,
+        plan.snd_col,
+        plan.rcv_col,
+        plan.snd_row,
+        plan.rcv_row,
+        plan.m_col,
+        weights["we"],
+        weights["w2"],
+        weights["w3"],
+        tr(weights["we"]),
+        tr(weights["w2"]),
+        tr(weights["w3"]),
+        row(weights["b1"]),
+        row(weights["b2"]),
+        row(weights["b3"]),
+        ln2,
+    )
+    return outs
+
+
+def _plan_degrees(plan: BandPlan, Nr: int) -> Array:
+    """Per-node valid in-degree from the static plan (f32, [Nr])."""
+    C, T = plan.C, plan.T
+    local = plan.rcv_row.reshape(C * T)
+    base = jnp.repeat(plan.r_lo.reshape(C), T)
+    m = plan.m_col.reshape(C * T)
+    gl = jnp.where(m > 0, local + base, 0).astype(jnp.int32)
+    return jax.ops.segment_sum(m, gl, Nr)
+
+
+def _fused_bwd(plan, interpret, res, g):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    e_pad, sp, rp, weights, agg = res
+    de2_bar, dagg_bar = g
+    B, E_pad, L = e_pad.shape
+    Nr = sp.shape[1]
+    de2_bar = jnp.where(jnp.isnan(de2_bar), 0, de2_bar)  # defensive: none expected
+
+    deg = _plan_degrees(plan, Nr)
+    inv_deg = (1.0 / jnp.maximum(deg, 1.0))[None, :, None]
+    dagg32 = dagg_bar.astype(jnp.float32)
+    g1 = dagg32[:, :, :L] + dagg32[:, :, L : 2 * L] * inv_deg
+    drhs = jnp.concatenate(
+        [
+            g1,
+            agg[:, :, 2 * L : 3 * L],  # mx (tie compare)
+            dagg32[:, :, 2 * L : 3 * L],  # g_max
+            agg[:, :, 3 * L :],  # mn
+            dagg32[:, :, 3 * L :],  # g_min
+        ],
+        axis=-1,
+    )
+    de, dh, dz2, dz3, a1, a2, dsp, drp, dpar = _bwd_call(
+        e_pad, sp, rp, weights, de2_bar.astype(e_pad.dtype), drhs, plan,
+        interpret,
+    )
+    f32 = jnp.float32
+    dweights = {
+        "we": jnp.einsum(
+            "bei,bej->ij", e_pad.astype(f32), dh.astype(f32)
+        ),
+        "w2": jnp.einsum("bei,bej->ij", a1.astype(f32), dz2.astype(f32)),
+        "w3": jnp.einsum("bei,bej->ij", a2.astype(f32), dz3.astype(f32)),
+        "b1": jnp.sum(dpar[:, 0, :], axis=0),
+        "b2": jnp.sum(dpar[:, 1, :], axis=0),
+        "b3": jnp.sum(dpar[:, 2, :], axis=0),
+        "lns": jnp.sum(dpar[:, 3, :], axis=0),
+        "lnb": jnp.sum(dpar[:, 4, :], axis=0),
+    }
+    return (
+        de.astype(e_pad.dtype),
+        dsp.astype(sp.dtype),
+        drp.astype(rp.dtype),
+        dweights,
+    )
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,153 @@
+"""Parity tests for the fused Pallas MP-block edge kernel.
+
+``ops.pallas.fused_block`` fuses gather -> edge MLP -> LayerNorm -> pna
+into one VMEM-resident pass (fwd) plus a remat backward kernel.  Oracle:
+the framework's own unfused math (``nn.mlp`` semantics + the golden-tested
+``segment_ops.aggregate``), which is itself parity-tested against the torch
+reference (src/migration/graphnet.py:22-64).
+
+Runs in interpreter mode on the CPU test mesh; the Mosaic path is
+exercised on hardware by bench.py / tools/bench_fused_block.py.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyper_graph_nets_tpu.core import segment_ops
+from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+    build_band_plan,
+    fused_edge_block,
+)
+
+
+def _banded_case(seed, N, E_valid, E, L, band=8, B=None):
+    """Receiver-sorted edge set with senders within +-band of the receiver."""
+    rng = np.random.default_rng(seed)
+    recv_v = np.sort(rng.integers(0, N, size=E_valid)).astype(np.int32)
+    off = rng.integers(-band, band + 1, size=E_valid)
+    snd_v = np.clip(recv_v + off, 0, N - 1).astype(np.int32)
+    snd = np.concatenate([snd_v, np.zeros(E - E_valid, np.int32)])
+    recv = np.concatenate([recv_v, np.zeros(E - E_valid, np.int32)])
+    mask = np.concatenate(
+        [np.ones(E_valid, np.float32), np.zeros(E - E_valid, np.float32)]
+    )
+    shape = (E, L) if B is None else (B, E, L)
+    e = rng.normal(size=shape).astype(np.float32)
+    nshape = (N, L) if B is None else (B, N, L)
+    sp = rng.normal(size=nshape).astype(np.float32)
+    rp = rng.normal(size=nshape).astype(np.float32)
+    wk = {
+        "we": rng.normal(size=(L, L)).astype(np.float32) * 0.3,
+        "w2": rng.normal(size=(L, L)).astype(np.float32) * 0.3,
+        "w3": rng.normal(size=(L, L)).astype(np.float32) * 0.3,
+        "b1": rng.normal(size=(L,)).astype(np.float32) * 0.1,
+        "b2": rng.normal(size=(L,)).astype(np.float32) * 0.1,
+        "b3": rng.normal(size=(L,)).astype(np.float32) * 0.1,
+        "lns": (1.0 + 0.1 * rng.normal(size=(L,))).astype(np.float32),
+        "lnb": (0.1 * rng.normal(size=(L,))).astype(np.float32),
+    }
+    jt = jax.tree_util.tree_map(jnp.asarray, (e, sp, rp, wk))
+    plan = build_band_plan(snd, recv, N, num_valid=E_valid, chunk=128)
+    return (*jt, jnp.asarray(snd), jnp.asarray(recv), jnp.asarray(mask), plan)
+
+
+def _oracle(e, sp, rp, wk, snd, rcv, mask, N):
+    """Unfused reference: factored edge MLP + LN residual + pna aggregate."""
+
+    def one(e, sp, rp):
+        h = e @ wk["we"] + sp[snd] + rp[rcv] + wk["b1"]
+        z2 = jax.nn.relu(h) @ wk["w2"] + wk["b2"]
+        z3 = jax.nn.relu(z2) @ wk["w3"] + wk["b3"]
+        mu = jnp.mean(z3, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z3 - mu), axis=-1, keepdims=True)
+        xhat = (z3 - mu) * jax.lax.rsqrt(var + 1e-5)
+        e2 = e + xhat * wk["lns"] + wk["lnb"]
+        agg = segment_ops.aggregate(e2, rcv, N, "pna", mask=mask)
+        return e2, agg
+
+    if e.ndim == 3:
+        return jax.vmap(one)(e, sp, rp)
+    return one(e, sp, rp)
+
+
+@pytest.mark.parametrize(
+    "N,E_valid,E,L",
+    [
+        (64, 220, 256, 8),  # partial final chunk of padding
+        (48, 256, 256, 16),  # no padding, exact chunk boundary
+        (100, 300, 384, 8),  # zero-degree nodes
+    ],
+)
+def test_forward_parity(N, E_valid, E, L):
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(0, N, E_valid, E, L)
+    ref_e2, ref_agg = _oracle(e, sp, rp, wk, snd, rcv, mask, N)
+    e2, agg = fused_edge_block(e, sp, rp, wk, plan, N)
+    m = np.asarray(mask)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(e2) * m, np.asarray(ref_e2) * m, atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(agg), np.asarray(ref_agg), atol=2e-5)
+
+
+def test_forward_batched():
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(
+        1, 60, 230, 256, 8, B=2
+    )
+    ref_e2, ref_agg = _oracle(e, sp, rp, wk, snd, rcv, mask, 60)
+    e2, agg = fused_edge_block(e, sp, rp, wk, plan, 60)
+    assert e2.shape == (2, 256, 8) and agg.shape == (2, 60, 32)
+    m = np.asarray(mask)[None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(e2) * m, np.asarray(ref_e2) * m, atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(agg), np.asarray(ref_agg), atol=2e-5)
+
+
+def test_gradient_parity():
+    N, E_valid, E, L = 64, 220, 256, 8
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(5, N, E_valid, E, L)
+    rng = np.random.default_rng(7)
+    ge2 = jnp.asarray(
+        rng.normal(size=(E, L)).astype(np.float32)
+    ) * mask[:, None]
+    gagg = jnp.asarray(rng.normal(size=(N, 4 * L)).astype(np.float32))
+
+    def loss_ref(e, sp, rp, wk):
+        e2, agg = _oracle(e, sp, rp, wk, snd, rcv, mask, N)
+        return jnp.vdot(e2 * mask[:, None], ge2) + jnp.vdot(agg, gagg)
+
+    def loss_fused(e, sp, rp, wk):
+        e2, agg = fused_edge_block(e, sp, rp, wk, plan, N)
+        return jnp.vdot(e2 * mask[:, None], ge2) + jnp.vdot(agg, gagg)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(e, sp, rp, wk)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(e, sp, rp, wk)
+    # edge cotangents only meaningful on valid rows (padded rows are dead)
+    np.testing.assert_allclose(
+        np.asarray(gf[0]) * np.asarray(mask)[:, None],
+        np.asarray(gr[0]) * np.asarray(mask)[:, None],
+        atol=3e-4,
+    )
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]), atol=3e-4)
+    for k in gr[3]:
+        np.testing.assert_allclose(
+            np.asarray(gf[3][k]), np.asarray(gr[3][k]), atol=3e-3, rtol=1e-4,
+            err_msg=f"weight grad {k}",
+        )
+
+
+def test_band_plan_rejects_wide_window():
+    rng = np.random.default_rng(3)
+    rcv = np.sort(rng.integers(0, 4096, size=512)).astype(np.int32)
+    snd = rng.permutation(4096)[:512].astype(np.int32)  # unbanded senders
+    with pytest.raises(ValueError, match="max_window"):
+        build_band_plan(snd, rcv, 4096, chunk=512, max_window=1024)
+
+
+def test_band_plan_rejects_unsorted():
+    rcv = np.array([3, 1, 2], np.int32)
+    snd = np.array([0, 1, 2], np.int32)
+    with pytest.raises(ValueError, match="sorted"):
+        build_band_plan(snd, rcv, 8, chunk=128)
