@@ -69,6 +69,10 @@ class EdgeSet:
     # update (segment_ops.gather_rows, config model.agg_vjp = 'gather')
     snd_gather_idx: Optional[Array] = None
     snd_gather_valid: Optional[Array] = None
+    # Optional static banded-window plan (ops.pallas.fused_block.BandPlan)
+    # enabling the fully fused edge-MLP + pna kernel (agg_vjp = 'fused');
+    # shared across the batch like senders/receivers (vmap in_axes None)
+    band_plan: Optional[object] = None
 
     @property
     def num_edges(self) -> int:

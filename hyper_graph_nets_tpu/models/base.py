@@ -56,6 +56,9 @@ class Topology(NamedTuple):
     snd_gather_valid: Optional[np.ndarray] = None
     # model-specific static aux arrays (e.g. plate obstacle indices)
     aux: Optional[dict] = None
+    # banded-window plan for the fused Pallas MP-block kernel (built when
+    # the numbering is banded enough; see ops/pallas/fused_block.py)
+    band_plan: Optional[object] = None
 
     def edge_mask(self):
         return None if self.mask is None else jnp.asarray(self.mask)
@@ -66,6 +69,30 @@ class Topology(NamedTuple):
         if self.mask is None:
             return jnp.ones(shape, jnp.float32)
         return jnp.broadcast_to(jnp.asarray(self.mask), shape)
+
+
+def try_band_plan(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    num_valid: Optional[int] = None,
+    chunk: int = 256,
+):
+    """Banded-window plan for the fused MP-block kernel, or None.
+
+    Returns None when the numbering isn't banded enough (the fused path
+    then falls back to the unfused aggregation); datasets with scattered
+    numberings opt in via ``ops.reorder.rcm_order`` at load time.
+    """
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import build_band_plan
+
+    try:
+        return build_band_plan(
+            np.asarray(senders), np.asarray(receivers), num_nodes,
+            num_valid=num_valid, chunk=chunk,
+        )
+    except ValueError:
+        return None
 
 
 def one_hot_rows(codes: Array, num_classes: int) -> Array:
@@ -255,6 +282,11 @@ class SystemModel:
             gather_valid=gvalid,
             snd_gather_idx=sidx,
             snd_gather_valid=svalid,
+            band_plan=(
+                try_band_plan(edges.senders, edges.receivers, num_nodes)
+                if self.params["model"].get("agg_vjp") == "fused"
+                else None
+            ),
         )
 
     def topology_from_trajectory(self, trajectory: Dict[str, np.ndarray]) -> Topology:

@@ -158,6 +158,7 @@ class CylinderModel(SystemModel):
                         if topo.snd_gather_valid is None
                         else jnp.asarray(topo.snd_gather_valid)
                     ),
+                    band_plan=topo.band_plan,
                 )
             },
         )

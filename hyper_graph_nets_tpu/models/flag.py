@@ -208,6 +208,7 @@ class FlagModel(SystemModel):
                     gather_valid=_opt_arr(topo.gather_valid),
                     snd_gather_idx=_opt_arr(topo.snd_gather_idx),
                     snd_gather_valid=_opt_arr(topo.snd_gather_valid),
+                    band_plan=topo.band_plan,
                 )
             },
         )

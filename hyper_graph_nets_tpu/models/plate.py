@@ -311,7 +311,10 @@ class PlateModel(SystemModel):
                         if topo.snd_gather_valid is None
                         else jnp.asarray(topo.snd_gather_valid)
                     ),
+                    band_plan=topo.band_plan,
                 ),
+                # world edges re-form every frame (dynamic radius query), so
+                # no static band plan — they stay on the unfused path
                 "world_edges": EdgeSet(
                     features=world_feats,
                     senders=raw["world_senders"],

@@ -91,7 +91,10 @@ class GNNConfig:
     # with pure gathers (segment_ops.pna_gather) — scatter-free backward,
     # the TPU fast path for static topology + pna; 'sorted': Pallas
     # segmented-scan kernel (ops/pallas/segment_pna) for receiver-sorted
-    # edge sets (sorted_edge_sets), scatter-free fwd AND bwd on the MXU
+    # edge sets (sorted_edge_sets), scatter-free fwd AND bwd on the MXU;
+    # 'fused': Pallas kernel fusing gather -> edge MLP -> LN -> pna into
+    # one VMEM pass (ops/pallas/fused_block) for edge sets carrying a
+    # band plan — falls back per-set to the unfused path otherwise
     agg_vjp: str = "xla"
     # edge sets whose receivers are non-decreasing with masked edges at the
     # tail (core.mesh.cells_to_edges lexsorts by receiver) — eligible for
@@ -225,12 +228,74 @@ def _update_edge_features(
     return es.features + mlp_apply_tail(params, h, cfg.cd, from_layer=1)
 
 
+def _fused_eligible(eparams: dict, es: EdgeSet, cfg: GNNConfig) -> bool:
+    """Edge sets the fused Pallas MP-block kernel can take whole.
+
+    Requires a band plan (banded receiver-sorted numbering, built host-side
+    in models/base.build_topology), pna aggregation, no shard_map axis, and
+    the standard processor MLP shape [3L -> L -> L -> L] + LayerNorm that
+    the kernel hard-codes.
+    """
+    if (
+        cfg.agg_vjp != "fused"
+        or cfg.aggregation != "pna"
+        or cfg.axis_name is not None
+        or es.band_plan is None
+    ):
+        return False
+    L = cfg.latent_size
+    layers = eparams["layers"]
+    return (
+        len(layers) == 3
+        and "ln" in eparams
+        and layers[0]["w"].shape == (3 * L, L)
+        and layers[1]["w"].shape == (L, L)
+        and layers[2]["w"].shape == (L, L)
+        and es.features.shape[-1] == L
+    )
+
+
+def _fused_update_and_agg(
+    eparams: dict, all_nodes: Array, es: EdgeSet, cfg: GNNConfig, num_total: int
+) -> Tuple[Array, Array]:
+    """Fused edge update + pna aggregate (ops/pallas/fused_block).
+
+    Same factored first layer as _update_edge_features; the gather, MLP
+    tail, LayerNorm, residual and pna all run inside one Pallas kernel.
+    """
+    from hyper_graph_nets_tpu.nn.mlp import _dense
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import fused_edge_block
+
+    L = all_nodes.shape[-1]
+    w1 = eparams["layers"][0]["w"]
+    node_part = _dense(
+        all_nodes, jnp.concatenate([w1[:L], w1[L : 2 * L]], axis=-1), cfg.cd
+    )
+    sp, rp = node_part[..., :L], node_part[..., L:]
+    feats = es.features if cfg.cd is None else es.features.astype(cfg.cd)
+    weights = {
+        "we": w1[2 * L :],
+        "w2": eparams["layers"][1]["w"],
+        "w3": eparams["layers"][2]["w"],
+        "b1": eparams["layers"][0]["b"],
+        "b2": eparams["layers"][1]["b"],
+        "b3": eparams["layers"][2]["b"],
+        "lns": eparams["ln"]["scale"],
+        "lnb": eparams["ln"]["bias"],
+    }
+    e2, agg = fused_edge_block(feats, sp, rp, weights, es.band_plan, num_total)
+    if cfg.cd is not None:
+        agg = agg.astype(cfg.cd)
+    return e2, agg
+
+
 def _aggregate_sets(
     edge_feats: Dict[str, Array],
     graph: Graph,
     names: Sequence[str],
     num_total: int,
     cfg: GNNConfig,
+    precomputed: Optional[Dict[str, Array]] = None,
 ) -> Array:
     from hyper_graph_nets_tpu.core.segment_ops import (
         collective_aggregate,
@@ -239,6 +304,9 @@ def _aggregate_sets(
 
     parts = []
     for name in names:
+        if precomputed is not None and name in precomputed:
+            parts.append(precomputed[name])
+            continue
         es = graph.edge_sets[name]
         if cfg.axis_name is not None:
             # shard_map edge partitioning: local partials + psum/pmax/pmin
@@ -325,13 +393,18 @@ def _flat_apply_once(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
     num_total = all_nodes.shape[-2]
     n_mesh = graph.num_nodes
 
-    new_feats = {
-        name: _update_edge_features(
-            params["edge_models"][name], all_nodes, graph.edge_sets[name], cfg
-        )
-        for name in names
-    }
-    agg = _aggregate_sets(new_feats, graph, names, num_total, cfg)
+    new_feats: Dict[str, Array] = {}
+    fused_aggs: Dict[str, Array] = {}
+    for name in names:
+        es = graph.edge_sets[name]
+        eparams = params["edge_models"][name]
+        if _fused_eligible(eparams, es, cfg):
+            new_feats[name], fused_aggs[name] = _fused_update_and_agg(
+                eparams, all_nodes, es, cfg, num_total
+            )
+        else:
+            new_feats[name] = _update_edge_features(eparams, all_nodes, es, cfg)
+    agg = _aggregate_sets(new_feats, graph, names, num_total, cfg, fused_aggs)
     features = jnp.concatenate([all_nodes, agg], axis=-1)
 
     if cfg.architecture == "hetero" and graph.hyper_features is not None:

@@ -76,6 +76,7 @@ class BandPlan(NamedTuple):
     w_tag: Array  # [W, 0] uint8 (shape-only)
     wr_tag: Array  # [WR, 0] uint8 (shape-only)
     s_tag: Array  # [scan_steps, 0] uint8 (shape-only)
+    nr_tag: Array  # [max window end, 0] uint8 (shape-only; see plan_node_rows)
 
     @property
     def T(self) -> int:
@@ -180,14 +181,19 @@ def build_band_plan(
         w_tag=jnp.zeros((W, 0), jnp.uint8),
         wr_tag=jnp.zeros((WR, 0), jnp.uint8),
         s_tag=jnp.zeros((max(steps, 1), 0), jnp.uint8),
+        nr_tag=jnp.zeros(
+            (max(int(w_s.max()) + W, int(r_lo.max()) + WR), 0), jnp.uint8
+        ),
     )
 
 
 def plan_node_rows(plan: BandPlan, num_nodes: int) -> int:
-    """Padded node-row count the kernel windows may touch."""
-    n = _round_up(num_nodes, 16)
-    n = max(n, int(jax.device_get(plan.w_s).max()) + plan.W)
-    n = max(n, int(jax.device_get(plan.r_lo).max()) + plan.WR)
+    """Padded node-row count the kernel windows may touch.
+
+    Static (shape-derived via ``nr_tag``) so it is usable under tracing —
+    the plan rides the Graph pytree through jit/scan/vmap.
+    """
+    n = max(_round_up(num_nodes, 16), plan.nr_tag.shape[0])
     return _round_up(n, 16)
 
 
@@ -466,15 +472,18 @@ def fused_edge_block(
     return e2, agg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _fused_vjp(e_pad, sp, rp, weights, plan, interpret):
+    # ``plan`` is formally differentiable (it rides the Graph pytree, so
+    # its arrays may be tracers under jit/scan); its cotangents are zeros
+    # (float0 for the integer index arrays) — see _fused_bwd.
     e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret)
     return e2, agg
 
 
 def _fused_fwd(e_pad, sp, rp, weights, plan, interpret):
     e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret)
-    return (e2, agg), (e_pad, sp, rp, weights, agg)
+    return (e2, agg), (e_pad, sp, rp, weights, agg, plan)
 
 
 # ---------------------------------------------------------------------------
@@ -763,10 +772,19 @@ def _plan_degrees(plan: BandPlan, Nr: int) -> Array:
     return jax.ops.segment_sum(m, gl, Nr)
 
 
-def _fused_bwd(plan, interpret, res, g):
+def _zero_plan_cotangent(plan: BandPlan) -> BandPlan:
+    def zero(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return jax.tree.map(zero, plan)
+
+
+def _fused_bwd(interpret, res, g):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    e_pad, sp, rp, weights, agg = res
+    e_pad, sp, rp, weights, agg, plan = res
     de2_bar, dagg_bar = g
     B, E_pad, L = e_pad.shape
     Nr = sp.shape[1]
@@ -808,6 +826,7 @@ def _fused_bwd(plan, interpret, res, g):
         dsp.astype(sp.dtype),
         drp.astype(rp.dtype),
         dweights,
+        _zero_plan_cotangent(plan),
     )
 
 

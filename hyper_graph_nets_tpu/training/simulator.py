@@ -73,11 +73,46 @@ class MeshSimulator:
         self.capacity = (num_nodes, num_edges)
 
     def _prepare(self, trajectory: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        trajectory = self._maybe_reorder(trajectory)
         if self.capacity is None:
             return trajectory
         from hyper_graph_nets_tpu.data.bucketing import pad_trajectory
 
         return pad_trajectory(trajectory, self.capacity[0])
+
+    def _maybe_reorder(
+        self, trajectory: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """RCM-relabel unstructured meshes for the fused Pallas kernel.
+
+        The fused MP-block path (model.agg_vjp = 'fused') needs a banded
+        node numbering (ops/pallas/fused_block).  Grid meshes are banded
+        natively; the DeepMind unstructured meshes are not, so when the
+        natural ordering fails the band-plan build we relabel nodes with
+        reverse Cuthill-McKee (ops/reorder) — a pure renumbering, exactly
+        loss/physics-equivalent.  The permutation is cached per mesh.
+        """
+        if self.model.params["model"].get("agg_vjp") != "fused":
+            return trajectory
+        from hyper_graph_nets_tpu.core.mesh import cells_to_edges
+        from hyper_graph_nets_tpu.models.base import try_band_plan
+        from hyper_graph_nets_tpu.ops import reorder
+
+        cells = np.asarray(trajectory["cells"][0])
+        n = int(trajectory["node_type"].shape[1])
+        key = ("rcm", cells.shape, int(cells[:8].sum()), n)
+        if key not in self._topo_cache:
+            edges = cells_to_edges(cells)  # 4-col (quad) cells imply deform
+            if try_band_plan(edges.senders, edges.receivers, n) is not None:
+                self._topo_cache[key] = None  # already banded
+            else:
+                self._topo_cache[key] = reorder.rcm_order(
+                    edges.senders, edges.receivers, n
+                )
+        perm = self._topo_cache[key]
+        if perm is None:
+            return trajectory
+        return reorder.reorder_trajectory(trajectory, perm)
 
     # ------------------------------------------------------------------
     def initialize(self, logger: Optional[MetricsLogger] = None) -> TrainState:
