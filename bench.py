@@ -55,7 +55,9 @@ def _jax_throughput() -> dict:
             "message_passing_steps": MP_STEPS,
             "compute_dtype": "bfloat16",
             "scan_unroll": MP_STEPS,  # full unroll: XLA fuses across blocks
-            "agg_vjp": "gather",  # scatter-free backward (segment_ops)
+            # fused Pallas MP-block kernel: gather+MLP+LN+pna in one VMEM
+            # pass, fwd and bwd (ops/pallas/fused_block) — 104 -> 74 ms/step
+            "agg_vjp": "fused",
             "rmp": {"clustering": "none", "connector": "none"},
             "graph_balancer": {"algorithm": "none"},
         },

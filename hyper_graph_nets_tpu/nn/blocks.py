@@ -426,20 +426,36 @@ def _hierarchical_apply(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
     """Shared body for hyper/multiscale blocks (ordered sub-step sequence)."""
     multiscale = cfg.architecture == "multiscale"
     new_feats: Dict[str, Array] = {}
+    fused_aggs: Dict[str, Array] = {}
     n_mesh = graph.num_nodes
 
+    # each sub-step's node_update directly follows its upd_edges on the
+    # same node state, so the fused update+aggregate kernel is valid per
+    # sub-step (band plans exist only for static receiver-sorted sets,
+    # i.e. mesh_edges; the cluster-tier sets stay on the unfused path)
     def upd_edges(names: Sequence[str]) -> Tuple[str, ...]:
         present = _present(cfg, graph, names)
         all_nodes = concat_node_tiers(graph)
+        num_total = all_nodes.shape[-2]
         for name in present:
-            new_feats[name] = _update_edge_features(
-                params["edge_models"][name], all_nodes, graph.edge_sets[name], cfg
-            )
+            es = graph.edge_sets[name]
+            eparams = params["edge_models"][name]
+            if _fused_eligible(eparams, es, cfg):
+                new_feats[name], fused_aggs[name] = _fused_update_and_agg(
+                    eparams, all_nodes, es, cfg, num_total
+                )
+            else:
+                new_feats[name] = _update_edge_features(
+                    eparams, all_nodes, es, cfg
+                )
+                fused_aggs.pop(name, None)
         return present
 
     def node_update(names: Sequence[str], model: dict, tier: str) -> Graph:
         all_nodes = concat_node_tiers(graph)
-        agg = _aggregate_sets(new_feats, graph, names, all_nodes.shape[-2], cfg)
+        agg = _aggregate_sets(
+            new_feats, graph, names, all_nodes.shape[-2], cfg, fused_aggs
+        )
         features = jnp.concatenate([all_nodes, agg], axis=-1)
         if tier == "mesh":
             upd = mlp_apply(model, features[:n_mesh], cfg.cd)

@@ -187,6 +187,66 @@ class TestFusedTrainStepParity:
             )
 
 
+class TestFusedHierarchicalParity:
+    """The fused kernel inside the hierarchical (HGN) block's mesh sub-step
+    matches the unfused path — cluster-tier edge sets stay unfused (no band
+    plan), mesh_edges goes through the fused update+aggregate."""
+
+    def _run(self, vjp):
+        from hyper_graph_nets_tpu.data import synthetic
+        from hyper_graph_nets_tpu.data.preprocessing import add_targets
+        from hyper_graph_nets_tpu.models.flag import FlagModel
+        from hyper_graph_nets_tpu.rmp.remote_message_passing import get_rmp
+        from hyper_graph_nets_tpu.training.trainer import Trainer
+
+        params = {
+            "task": {"dataset": "flag_minimal"},
+            "model": {
+                "field": "world_pos", "history": True, "size": 3,
+                "noise": 0.0, "gamma": 0.9, "aggregation": "pna",
+                "learning_rate": 1e-3, "message_passing_steps": 2,
+                "agg_vjp": vjp,
+                "rmp": {
+                    "num_clusters": 4, "hyper_noise": 0.0,
+                    "hyper_node_features": True, "frequency": 1,
+                    "clustering": "spectral", "connector": "hyper",
+                    "fully_connect": False,
+                    "intra_cluster_sampling": {
+                        "enabled": False, "alpha": 0.1, "spotter_threshold": 0
+                    },
+                },
+                "graph_balancer": {"algorithm": "none"},
+            },
+        }
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=10, nx=7, ny=7), "world_pos", True
+        )
+        model = FlagModel(params)
+        topo = model.topology_from_trajectory(traj)
+        if vjp == "fused":
+            assert topo.band_plan is not None
+        rmp = get_rmp(params)
+        frame0 = {k: v[0] for k, v in traj.items()}
+        static = rmp.prepare(model, frame0, topo)
+        trainer = Trainer(model, params)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(topo, expansion=rmp)
+        frames = {k: jnp.asarray(v[:3]) for k, v in traj.items() if k != "cells"}
+        ts, loss = step(ts, frames, jax.random.PRNGKey(1), static)
+        return float(loss), ts
+
+    def test_loss_and_params_match(self):
+        l1, t1 = self._run("xla")
+        l2, t2 = self._run("fused")
+        assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
+        for a, b in zip(
+            jax.tree.leaves(t1.model.params), jax.tree.leaves(t2.model.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
 def test_band_plan_rejects_wide_window():
     rng = np.random.default_rng(3)
     rcv = np.sort(rng.integers(0, 4096, size=512)).astype(np.int32)
