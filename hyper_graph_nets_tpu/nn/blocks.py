@@ -289,6 +289,20 @@ def _fused_update_and_agg(
     return e2, agg
 
 
+def _gather_dense_ok(es: EdgeSet) -> bool:
+    """Is the dense [rows, d_max] gather matrix worth its padding waste?
+
+    The gather path materializes [rows, d_max, L]; when the receiver
+    in-degree is skewed (cluster-tier sets: d_max ~ largest cluster size,
+    so rows x d_max is ~100x the edge count) that tensor dwarfs the edge
+    stream and the "fast path" becomes the bottleneck (measured: the up
+    sub-step alone was 31 ms of a 33 ms hierarchical block).  Scatter
+    aggregation is cheaper past ~4x padding waste.
+    """
+    gshape = es.gather_idx.shape
+    return gshape[-2] * gshape[-1] <= 4 * es.num_edges
+
+
 def _aggregate_sets(
     edge_feats: Dict[str, Array],
     graph: Graph,
@@ -342,7 +356,7 @@ def _aggregate_sets(
                     pna_sorted(f, es.receivers, es.mask, num_total, seg_max)
                 )
                 continue
-        if es.gather_idx is not None:
+        if es.gather_idx is not None and _gather_dense_ok(es):
             # fast path: one gather over the static neighbor matrix feeds
             # all pna reductions (sum/mean/max/min) in a single pass.
             if cfg.agg_vjp == "gather" and cfg.aggregation == "pna":
