@@ -210,6 +210,8 @@ def _update_edge_features(
         cfg.agg_vjp == "gather"
         and es.snd_gather_idx is not None
         and es.gather_idx is not None
+        and _gather_dense_ok(es)
+        and _gather_dense_ok(es, es.snd_gather_idx)
     ):
         # scatter-free backward: cotangents of the sender/receiver gathers
         # route through the static inverse incidence (segment_ops.gather_rows)
@@ -289,7 +291,7 @@ def _fused_update_and_agg(
     return e2, agg
 
 
-def _gather_dense_ok(es: EdgeSet) -> bool:
+def _gather_dense_ok(es: EdgeSet, idx: Optional[Array] = None) -> bool:
     """Is the dense [rows, d_max] gather matrix worth its padding waste?
 
     The gather path materializes [rows, d_max, L]; when the receiver
@@ -297,9 +299,10 @@ def _gather_dense_ok(es: EdgeSet) -> bool:
     so rows x d_max is ~100x the edge count) that tensor dwarfs the edge
     stream and the "fast path" becomes the bottleneck (measured: the up
     sub-step alone was 31 ms of a 33 ms hierarchical block).  Scatter
-    aggregation is cheaper past ~4x padding waste.
+    aggregation is cheaper past ~4x padding waste.  Also gates the
+    scatter-free gather_rows backward (same inverse-incidence tensor).
     """
-    gshape = es.gather_idx.shape
+    gshape = (es.gather_idx if idx is None else idx).shape
     return gshape[-2] * gshape[-1] <= 4 * es.num_edges
 
 
