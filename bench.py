@@ -26,6 +26,13 @@ import time
 
 import numpy as np
 
+# raise the compiler's scoped-VMEM limit before TPU init so the fused
+# MP-block kernel can use 512-edge chunks (ops/pallas/fused_block
+# .default_chunk) — measured ~5% faster than the 256-chunk fallback
+os.environ.setdefault(
+    "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=32768"
+)
+
 MP_STEPS = 15
 BATCH = 21
 GRID = 40  # 40x40 = 1600 nodes, flag_simple scale

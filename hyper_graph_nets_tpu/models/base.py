@@ -76,20 +76,26 @@ def try_band_plan(
     receivers: np.ndarray,
     num_nodes: int,
     num_valid: Optional[int] = None,
-    chunk: int = 256,
+    chunk: Optional[int] = None,
 ):
     """Banded-window plan for the fused MP-block kernel, or None.
 
     Returns None when the numbering isn't banded enough (the fused path
     then falls back to the unfused aggregation); datasets with scattered
-    numberings opt in via ``ops.reorder.rcm_order`` at load time.
+    numberings opt in via ``ops.reorder.rcm_order`` at load time.  The
+    chunk size defaults to ``fused_block.default_chunk()`` (512 when the
+    scoped-VMEM limit has been raised, else 256).
     """
-    from hyper_graph_nets_tpu.ops.pallas.fused_block import build_band_plan
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+        build_band_plan,
+        default_chunk,
+    )
 
     try:
         return build_band_plan(
             np.asarray(senders), np.asarray(receivers), num_nodes,
-            num_valid=num_valid, chunk=chunk,
+            num_valid=num_valid,
+            chunk=default_chunk() if chunk is None else chunk,
         )
     except ValueError:
         return None

@@ -55,6 +55,29 @@ T_DEFAULT = 512
 _BIG = 1e30
 
 
+def default_chunk() -> int:
+    """Edge-chunk size for band plans: 512 when the scoped-VMEM limit
+    allows it, else 256.
+
+    Measured (TPU v5e, flag 15MP B=21): chunk 512 runs the step ~5% faster
+    than 256 (fewer serialized grid steps), but its backward kernel needs
+    ~17.5 MB of scoped VMEM — over the default 16 MB compiler limit.  Launch
+    with ``LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=32768`` (bench.py
+    sets this) to enable the larger chunk; chunk 1024 measures slower again
+    (window width, and with it one-hot gather FLOPs, grows with the chunk).
+    """
+    import os
+    import re
+
+    m = re.search(
+        r"xla_tpu_scoped_vmem_limit_kib=(\d+)",
+        os.environ.get("LIBTPU_INIT_ARGS", ""),
+    )
+    if m and int(m.group(1)) >= 32768:
+        return 512
+    return 256
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
