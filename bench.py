@@ -240,6 +240,7 @@ def _hgn_plate_throughput() -> dict:
             "compute_dtype": "bfloat16",
             "scan_unroll": mp,
             "max_world_edges": 1024,
+            "agg_vjp": "fused",  # fused Pallas kernel on the mesh edge set
             "rmp": {
                 "clustering": "spectral",
                 "connector": "hyper",
