@@ -252,6 +252,7 @@ class SystemModel:
             scan_unroll=self.params["model"].get("scan_unroll", 1),
             remat=self.params["model"].get("remat", False),
             agg_vjp=self.params["model"].get("agg_vjp", "xla"),
+            fused_fwd=self.params["model"].get("fused_fwd", "kernel"),
         )
 
     def init_state(self, key: Array) -> ModelState:

@@ -96,6 +96,10 @@ class GNNConfig:
     # one VMEM pass (ops/pallas/fused_block) for edge sets carrying a
     # band plan — falls back per-set to the unfused path otherwise
     agg_vjp: str = "xla"
+    # forward flavor for agg_vjp='fused': 'kernel' (default — the full
+    # Pallas fwd kernel) or 'xla' (XLA forward + Pallas backward; see
+    # _fused_update_and_agg)
+    fused_fwd: str = "kernel"
     # edge sets whose receivers are non-decreasing with masked edges at the
     # tail (core.mesh.cells_to_edges lexsorts by receiver) — eligible for
     # the 'sorted' Pallas aggregation path
@@ -266,7 +270,10 @@ def _fused_update_and_agg(
     tail, LayerNorm, residual and pna all run inside one Pallas kernel.
     """
     from hyper_graph_nets_tpu.nn.mlp import _dense
-    from hyper_graph_nets_tpu.ops.pallas.fused_block import fused_edge_block
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+        fused_edge_block,
+        fused_edge_block_hybrid,
+    )
 
     L = all_nodes.shape[-1]
     w1 = eparams["layers"][0]["w"]
@@ -285,7 +292,25 @@ def _fused_update_and_agg(
         "lns": eparams["ln"]["scale"],
         "lnb": eparams["ln"]["bias"],
     }
-    e2, agg = fused_edge_block(feats, sp, rp, weights, es.band_plan, num_total)
+    if (
+        cfg.fused_fwd == "xla"
+        and es.gather_idx is not None
+        and es.gather_idx.ndim == 2
+        and _gather_dense_ok(es)
+    ):
+        # opt-in hybrid: XLA forward (CSR-gather pna) + Pallas remat
+        # backward.  Measured SLOWER than the full kernel at bench scale
+        # (78 vs 70 ms — the custom-VJP boundary blocks XLA's cross-stage
+        # fusion), kept as an option for shapes where the forward kernel's
+        # serialized grid dominates.
+        e2, agg = fused_edge_block_hybrid(
+            feats, sp, rp, weights, es.band_plan, num_total,
+            es.senders, es.receivers, es.gather_idx, es.gather_valid,
+        )
+    else:
+        e2, agg = fused_edge_block(
+            feats, sp, rp, weights, es.band_plan, num_total
+        )
     if cfg.cd is not None:
         agg = agg.astype(cfg.cd)
     return e2, agg

@@ -616,12 +616,23 @@ def _bwd_kernel(
     rhsw = drhs_ref[0, pl.ds(rlo, WR), :].astype(cdt)  # [WR, 5L]
     got = jnp.dot(ohT, rhsw, preferred_element_type=f32)  # [T, 5L]
 
+    # max/min winners by relative-tolerance compare, not exact equality:
+    # the hybrid path's forward e2 comes from XLA whose matmul reassociation
+    # differs from this recomputation in the last ulps (exact ties still
+    # match; near-ties within 1e-5 share the subgradient, as XLA's own
+    # scatter-max backward does for exact ties)
+    mx = got[:, L : 2 * L]
+    mn = got[:, 3 * L : 4 * L]
     route = got[:, :L]
     route = route + jnp.where(
-        e2v == got[:, L : 2 * L], got[:, 2 * L : 3 * L], 0.0
+        jnp.abs(e2v - mx) <= 1e-5 * (jnp.abs(mx) + 1.0),
+        got[:, 2 * L : 3 * L],
+        0.0,
     )
     route = route + jnp.where(
-        e2v == got[:, 3 * L : 4 * L], got[:, 4 * L :], 0.0
+        jnp.abs(e2v - mn) <= 1e-5 * (jnp.abs(mn) + 1.0),
+        got[:, 4 * L :],
+        0.0,
     )
     route = route * m_col
 
@@ -804,11 +815,13 @@ def _zero_plan_cotangent(plan: BandPlan) -> BandPlan:
     return jax.tree.map(zero, plan)
 
 
-def _fused_bwd(interpret, res, g):
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    e_pad, sp, rp, weights, agg, plan = res
-    de2_bar, dagg_bar = g
+def _bwd_core(e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret):
+    """Shared backward: remat Pallas kernel + dense weight-grad matmuls.
+
+    All inputs padded to the plan's edge/node row counts ([B, E_pad, L] /
+    [B, Nr, ...]); ``agg`` is the *finalized* padded aggregate.  Returns
+    (de, dsp, drp, dweights) at padded shapes.
+    """
     B, E_pad, L = e_pad.shape
     Nr = sp.shape[1]
     de2_bar = jnp.where(jnp.isnan(de2_bar), 0, de2_bar)  # defensive: none expected
@@ -849,8 +862,149 @@ def _fused_bwd(interpret, res, g):
         dsp.astype(sp.dtype),
         drp.astype(rp.dtype),
         dweights,
-        _zero_plan_cotangent(plan),
     )
 
 
+def _fused_bwd(interpret, res, g):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    e_pad, sp, rp, weights, agg, plan = res
+    de2_bar, dagg_bar = g
+    de, dsp, drp, dweights = _bwd_core(
+        e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret
+    )
+    return (de, dsp, drp, dweights, _zero_plan_cotangent(plan))
+
+
 _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# hybrid variant: XLA forward + Pallas backward
+# ---------------------------------------------------------------------------
+#
+# The forward kernel is serialized-grid-step bound and measures slightly
+# slower than XLA's fused forward chain with CSR-gather pna (28 vs 23 ms at
+# bench scale) — the fused win is almost entirely the backward (78 -> 42 ms).
+# When the caller has the static gather matrices anyway, the best of both is
+# an XLA forward with the remat Pallas backward.
+
+
+def _xla_fwd_math(e, sp, rp, wk, snd, rcv, gidx, gvalid):
+    """Unfused forward math, identical to nn.mlp/_update_edge_features
+    semantics (factored first layer, f32 LayerNorm stats) + CSR-gather pna."""
+    from hyper_graph_nets_tpu.core.segment_ops import gather_aggregate
+    from hyper_graph_nets_tpu.nn.mlp import _dense
+
+    cd = None if e.dtype == jnp.float32 else e.dtype
+    b = lambda v: v if cd is None else v.astype(cd)
+    h = (
+        _dense(e, wk["we"], cd)
+        + jnp.take(sp, snd, axis=-2)
+        + jnp.take(rp, rcv, axis=-2)
+        + b(wk["b1"])
+    )
+    z2 = _dense(jax.nn.relu(h), wk["w2"], cd) + b(wk["b2"])
+    z3 = _dense(jax.nn.relu(z2), wk["w3"], cd) + b(wk["b3"])
+    z32 = z3.astype(jnp.float32)
+    mu = jnp.mean(z32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z32 - mu), axis=-1, keepdims=True)
+    o = (z32 - mu) * jax.lax.rsqrt(var + 1e-5) * wk["lns"] + wk["lnb"]
+    e2 = e + o.astype(e.dtype)
+    agg = gather_aggregate(e2, gidx, gvalid, "pna")
+    return e2, agg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _hybrid_vjp(e, sp, rp, weights, plan, snd, rcv, gidx, gvalid, interpret):
+    # snd/rcv/gidx/gvalid drive only the forward; plan only the backward.
+    # All are formally differentiable (traced pytree members) with zero /
+    # float0 cotangents.
+    return _xla_fwd_math(e, sp, rp, weights, snd, rcv, gidx, gvalid)
+
+
+def _hybrid_fwd(e, sp, rp, weights, plan, snd, rcv, gidx, gvalid, interpret):
+    e2, agg = _xla_fwd_math(e, sp, rp, weights, snd, rcv, gidx, gvalid)
+    return (e2, agg), (e, sp, rp, weights, agg, plan, snd, rcv, gidx, gvalid)
+
+
+def _hybrid_bwd(interpret, res, g):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    e, sp, rp, weights, agg, plan, snd, rcv, gidx, gvalid = res
+    de2_bar, dagg_bar = g
+    squeeze = e.ndim == 2
+    ex = lambda a: a[None] if squeeze else a
+    E = e.shape[-2]
+    N = agg.shape[-2]
+    E_pad = plan.C * plan.T
+    Nr = plan_node_rows(plan, N)
+    pe = lambda a: jnp.pad(ex(a), ((0, 0), (0, E_pad - E), (0, 0)))
+    pn = lambda a: jnp.pad(ex(a), ((0, 0), (0, Nr - a.shape[-2]), (0, 0)))
+    de, dsp, drp, dweights = _bwd_core(
+        pe(e),
+        pn(sp),
+        pn(rp),
+        weights,
+        pn(agg.astype(jnp.float32)),
+        plan,
+        pe(de2_bar),
+        pn(dagg_bar),
+        interpret,
+    )
+    de = de[:, :E]
+    dsp = dsp[:, : sp.shape[-2]]
+    drp = drp[:, : rp.shape[-2]]
+    if squeeze:
+        de, dsp, drp = de[0], dsp[0], drp[0]
+
+    def zero_any(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (
+        de,
+        dsp.astype(sp.dtype),
+        drp.astype(rp.dtype),
+        dweights,
+        _zero_plan_cotangent(plan),
+        zero_any(snd),
+        zero_any(rcv),
+        zero_any(gidx),
+        zero_any(gvalid),
+    )
+
+
+_hybrid_vjp.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def fused_edge_block_hybrid(
+    e: Array,
+    sp: Array,
+    rp: Array,
+    weights: dict,
+    plan: BandPlan,
+    num_nodes: int,
+    senders: Array,
+    receivers: Array,
+    gather_idx: Array,
+    gather_valid: Array,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Fused edge update + pna with XLA forward and Pallas backward.
+
+    Same contract as :func:`fused_edge_block`; requires the CSR gather
+    matrices (core.mesh.receivers_to_gather) for the forward aggregation.
+    ``gather_idx`` rows define the aggregate's row count (= ``num_nodes``
+    at the caller's row space).
+    """
+    wk = {
+        k: weights[k]
+        for k in ("we", "w2", "w3", "b1", "b2", "b3", "lns", "lnb")
+    }
+    e2, agg = _hybrid_vjp(
+        e, sp, rp, wk, plan, senders, receivers, gather_idx, gather_valid,
+        interpret,
+    )
+    return e2, agg[..., :num_nodes, :]

@@ -138,13 +138,121 @@ def test_gradient_parity():
         )
 
 
+class TestHybridParity:
+    """fused_edge_block_hybrid (XLA forward + Pallas backward) matches the
+    oracle in both passes."""
+
+    def _case(self, seed=11, N=64, E_valid=220, E=256, L=8):
+        from hyper_graph_nets_tpu.core.mesh import receivers_to_gather
+
+        e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(
+            seed, N, E_valid, E, L
+        )
+        gidx, gvalid = receivers_to_gather(
+            np.asarray(rcv), N, mask=np.asarray(mask)
+        )
+        return e, sp, rp, wk, snd, rcv, mask, plan, jnp.asarray(gidx), jnp.asarray(gvalid)
+
+    def test_forward(self):
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+            fused_edge_block_hybrid,
+        )
+
+        e, sp, rp, wk, snd, rcv, mask, plan, gidx, gvalid = self._case()
+        ref_e2, ref_agg = _oracle(e, sp, rp, wk, snd, rcv, mask, 64)
+        e2, agg = fused_edge_block_hybrid(
+            e, sp, rp, wk, plan, 64, snd, rcv, gidx, gvalid
+        )
+        m = np.asarray(mask)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(e2) * m, np.asarray(ref_e2) * m, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(agg), np.asarray(ref_agg), atol=2e-5
+        )
+
+    def test_gradients(self):
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+            fused_edge_block_hybrid,
+        )
+
+        e, sp, rp, wk, snd, rcv, mask, plan, gidx, gvalid = self._case(seed=12)
+        rng = np.random.default_rng(13)
+        ge2 = jnp.asarray(
+            rng.normal(size=e.shape).astype(np.float32)
+        ) * mask[:, None]
+        gagg = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+
+        def loss_ref(e, sp, rp, wk):
+            e2, agg = _oracle(e, sp, rp, wk, snd, rcv, mask, 64)
+            return jnp.vdot(e2 * mask[:, None], ge2) + jnp.vdot(agg, gagg)
+
+        def loss_hyb(e, sp, rp, wk):
+            e2, agg = fused_edge_block_hybrid(
+                e, sp, rp, wk, plan, 64, snd, rcv, gidx, gvalid
+            )
+            return jnp.vdot(e2 * mask[:, None], ge2) + jnp.vdot(agg, gagg)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(e, sp, rp, wk)
+        gh = jax.grad(loss_hyb, argnums=(0, 1, 2, 3))(e, sp, rp, wk)
+        m = np.asarray(mask)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(gh[0]) * m, np.asarray(gr[0]) * m, atol=3e-4
+        )
+        np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gr[1]), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(gh[2]), np.asarray(gr[2]), atol=3e-4)
+        for k in gr[3]:
+            np.testing.assert_allclose(
+                np.asarray(gh[3][k]), np.asarray(gr[3][k]), atol=3e-3,
+                rtol=1e-4, err_msg=f"weight grad {k}",
+            )
+
+    def test_vmap_batched(self):
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+            fused_edge_block_hybrid,
+        )
+
+        e, sp, rp, wk, snd, rcv, mask, plan, gidx, gvalid = self._case(seed=14)
+        eb = jnp.stack([e, e * 0.5])
+        spb = jnp.stack([sp, sp * 2.0])
+        rpb = jnp.stack([rp, rp * 0.3])
+
+        def one(e1, sp1, rp1):
+            e2, agg = fused_edge_block_hybrid(
+                e1, sp1, rp1, wk, plan, 64, snd, rcv, gidx, gvalid
+            )
+            return jnp.sum(e2 * mask[:, None]) + jnp.sum(agg)
+
+        vals = jax.vmap(one)(eb, spb, rpb)
+        refs = jnp.stack(
+            [
+                jnp.sum(
+                    _oracle(a, b, c, wk, snd, rcv, mask, 64)[0] * mask[:, None]
+                )
+                + jnp.sum(_oracle(a, b, c, wk, snd, rcv, mask, 64)[1])
+                for a, b, c in zip(eb, spb, rpb)
+            ]
+        )
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(refs), rtol=1e-4)
+        # gradient under vmap (exercises the Pallas bwd batching rule)
+        g = jax.grad(lambda ee: jnp.sum(jax.vmap(one)(ee, spb, rpb)))(eb)
+        assert np.isfinite(np.asarray(g)).all()
+
+
 class TestFusedTrainStepParity:
     """model.agg_vjp='fused' (fused Pallas MP-block) produces the same
     training step as the XLA path — loss and updated params close (the
     fused kernel reorders the pna reductions, so bit-exactness isn't
-    expected, only numerical closeness)."""
+    expected, only numerical closeness).
 
-    def _run(self, vjp):
+    Max/min tie handling differs by convention: XLA's reduce-max backward
+    splits the gradient evenly among exact ties, torch_scatter routes it
+    to one argmax, and the Pallas kernel shares it among near-winners
+    (relative tolerance 1e-5) — all valid subgradients.  On a uniform
+    grid mesh a handful of weight entries (<0.1%) see the difference
+    after an optimizer step, hence the few-element tolerance below."""
+
+    def _run(self, vjp, fused_fwd="kernel"):
         from hyper_graph_nets_tpu.data import synthetic
         from hyper_graph_nets_tpu.data.preprocessing import add_targets
         from hyper_graph_nets_tpu.models.flag import FlagModel
@@ -156,7 +264,7 @@ class TestFusedTrainStepParity:
                 "field": "world_pos", "history": True, "size": 3,
                 "noise": 0.003, "gamma": 0.9, "aggregation": "pna",
                 "learning_rate": 1e-3, "message_passing_steps": 2,
-                "agg_vjp": vjp,
+                "agg_vjp": vjp, "fused_fwd": fused_fwd,
                 "rmp": {"clustering": "none", "connector": "none"},
                 "graph_balancer": {"algorithm": "none"},
             },
@@ -179,12 +287,28 @@ class TestFusedTrainStepParity:
         l1, t1 = self._run("xla")
         l2, t2 = self._run("fused")
         assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
+        total = mismatched = 0
         for a, b in zip(
             jax.tree.leaves(t1.model.params), jax.tree.leaves(t2.model.params)
         ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
-            )
+            a, b = np.asarray(a), np.asarray(b)
+            # max-tie subgradient convention may touch a few elements
+            # (see class docstring)
+            assert np.max(np.abs(a - b)) < 5e-3
+            mismatched += int(np.sum(np.abs(a - b) > 1e-3 * (np.abs(b) + 0.1)))
+            total += a.size
+        assert mismatched / total < 1e-3, f"{mismatched}/{total}"
+
+    def test_hybrid_fwd_matches_xla(self):
+        """model.fused_fwd='xla' (XLA forward + Pallas backward) also
+        reproduces the XLA training step."""
+        l1, t1 = self._run("xla")
+        l2, t2 = self._run("fused", fused_fwd="xla")
+        assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
+        for a, b in zip(
+            jax.tree.leaves(t1.model.params), jax.tree.leaves(t2.model.params)
+        ):
+            assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) < 5e-3
 
 
 class TestFusedHierarchicalParity:
@@ -239,12 +363,17 @@ class TestFusedHierarchicalParity:
         l1, t1 = self._run("xla")
         l2, t2 = self._run("fused")
         assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
-        for a, b in zip(
-            jax.tree.leaves(t1.model.params), jax.tree.leaves(t2.model.params)
-        ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
-            )
+        leaves1 = jax.tree.leaves(t1.model.params)
+        leaves2 = jax.tree.leaves(t2.model.params)
+        total = mismatched = 0
+        for a, b in zip(leaves1, leaves2):
+            a, b = np.asarray(a), np.asarray(b)
+            # a handful of elements may differ through the max-tie
+            # subgradient convention (see class docstring); bounded overall
+            assert np.max(np.abs(a - b)) < 5e-3
+            mismatched += int(np.sum(np.abs(a - b) > 1e-3 * (np.abs(b) + 0.1)))
+            total += a.size
+        assert mismatched / total < 1e-3, f"{mismatched}/{total}"
 
 
 def test_band_plan_rejects_wide_window():
