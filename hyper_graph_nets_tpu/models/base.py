@@ -306,6 +306,19 @@ class SystemModel:
     def forward(self, state: ModelState, graph: Graph) -> Array:
         return network_apply(state.params, graph, self.gnn_config)
 
+    def inference_state(self, state: ModelState) -> ModelState:
+        """State for inference/rollout, honoring ``model.inference_quant``.
+
+        With ``inference_quant: int8`` every MLP weight is quantized to
+        per-channel int8 (nn/quant.py) and the forward transparently runs
+        W8A8 matmuls; anything else returns the state unchanged.
+        """
+        if self.params["model"].get("inference_quant") != "int8":
+            return state
+        from hyper_graph_nets_tpu.nn.quant import quantize_network
+
+        return state.replace(params=quantize_network(state.params))
+
     # -- shared helpers ----------------------------------------------------
     def _normalize(
         self,

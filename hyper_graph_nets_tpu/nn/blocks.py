@@ -202,12 +202,31 @@ def _update_edge_features(
     from hyper_graph_nets_tpu.nn.mlp import _dense, mlp_apply_tail
 
     L = all_nodes.shape[-1]
-    w1 = params["layers"][0]["w"]  # [(2*L + Fe), latent]
-    b1 = params["layers"][0]["b"]
-    fe = es.features.shape[-1]
-    node_part = _dense(all_nodes, jnp.concatenate([w1[:L], w1[L : 2 * L]], axis=-1), cfg.cd)
-    s_part, r_part = node_part[..., : w1.shape[-1]], node_part[..., w1.shape[-1] :]
-    e_part = _dense(es.features, w1[2 * L :], cfg.cd)
+    l0 = params["layers"][0]
+    b1 = l0["b"]
+    if "w_q" in l0:
+        # int8 inference (nn.quant): the factored row split of the first
+        # layer preserves the per-output-channel scales
+        from hyper_graph_nets_tpu.nn.quant import dense_int8
+
+        w1q, ws = l0["w_q"], l0["wscale"]  # [(2*L + Fe), latent], [latent]
+        latent = w1q.shape[-1]
+        node_part = dense_int8(
+            all_nodes,
+            jnp.concatenate([w1q[:L], w1q[L : 2 * L]], axis=-1),
+            jnp.concatenate([ws, ws], axis=-1),
+        )
+        s_part = node_part[..., :latent]
+        r_part = node_part[..., latent:]
+        e_part = dense_int8(es.features, w1q[2 * L :], ws)
+    else:
+        w1 = l0["w"]  # [(2*L + Fe), latent]
+        node_part = _dense(
+            all_nodes, jnp.concatenate([w1[:L], w1[L : 2 * L]], axis=-1), cfg.cd
+        )
+        s_part = node_part[..., : w1.shape[-1]]
+        r_part = node_part[..., w1.shape[-1] :]
+        e_part = _dense(es.features, w1[2 * L :], cfg.cd)
     if cfg.cd is not None:
         b1 = b1.astype(cfg.cd)
     if (
@@ -254,6 +273,7 @@ def _fused_eligible(eparams: dict, es: EdgeSet, cfg: GNNConfig) -> bool:
     return (
         len(layers) == 3
         and "ln" in eparams
+        and "w" in layers[0]  # float weights (int8 inference stays unfused)
         and layers[0]["w"].shape == (3 * L, L)
         and layers[1]["w"].shape == (L, L)
         and layers[2]["w"].shape == (L, L)

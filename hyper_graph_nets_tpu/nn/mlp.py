@@ -94,7 +94,14 @@ def mlp_apply_tail(
         b = layers[i]["b"]
         if compute_dtype is not None:
             b = b.astype(compute_dtype)
-        x = _dense(x, layers[i]["w"], compute_dtype) + b
+        if "w_q" in layers[i]:
+            # int8 inference path (nn.quant): weights pre-quantized per
+            # channel, activations quantized dynamically per row
+            from hyper_graph_nets_tpu.nn.quant import dense_int8
+
+            x = dense_int8(x, layers[i]["w_q"], layers[i]["wscale"]) + b
+        else:
+            x = _dense(x, layers[i]["w"], compute_dtype) + b
         if i < n - 1:
             x = jax.nn.relu(x)
     if "ln" in params:

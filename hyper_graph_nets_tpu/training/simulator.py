@@ -289,6 +289,8 @@ class MeshSimulator:
         save: bool = True,
     ) -> Dict[str, Any]:
         """Recursive rollouts + per-step MSE (reference :334-390)."""
+        # honor model.inference_quant (int8 W8A8 rollouts, nn/quant.py)
+        tstate = tstate.replace(model=self.model.inference_state(tstate.model))
         all_mse: List[np.ndarray] = []
         rollouts: List[Dict[str, np.ndarray]] = []
         for idx, traj in enumerate(trajectories):
@@ -393,6 +395,7 @@ class MeshSimulator:
         logging: bool = True,
     ) -> Dict[str, float]:
         """Sliding n-step losses (reference :392-436), vmapped windows."""
+        tstate = tstate.replace(model=self.model.inference_state(tstate.model))
         means: List[float] = []
         lasts: List[float] = []
         for idx, traj in enumerate(trajectories):
