@@ -106,6 +106,31 @@ class TestBucketing:
         # both trajectories shared one compiled step
         assert len(sim._step_cache) == 1
 
+    def test_mixed_size_training_fused(self):
+        """Bucketed variable-size trajectories train on the fused Pallas
+        path: pad_topology rebuilds the band plan at padded capacity with
+        the padded edge tail masked out."""
+        from hyper_graph_nets_tpu.models.base import Topology
+
+        params = {
+            **PARAMS,
+            "model": {**PARAMS["model"], "agg_vjp": "fused"},
+        }
+        t1, t2 = two_sizes()
+        sim = MeshSimulator(params, out_dir="/tmp/bucketing_fused_out")
+        ts = sim.initialize()
+        n, e = trajectory_capacity([t1, t2])
+        sim.set_capacity(n, e)
+        ts, l1 = sim.fit_trajectory(ts, t1)
+        ts, l2 = sim.fit_trajectory(ts, t2)
+        assert np.isfinite(l1).all() and np.isfinite(l2).all()
+        plans = [
+            topo.band_plan
+            for topo in sim._topo_cache.values()
+            if isinstance(topo, Topology)
+        ]
+        assert plans and all(p is not None for p in plans)
+
     def test_rmp_excludes_padded_nodes(self):
         t1, t2 = two_sizes()
         n, e = trajectory_capacity([t1, t2])
