@@ -15,6 +15,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# 512-edge fused chunks need the raised scoped-VMEM limit (see bench.py)
+os.environ.setdefault(
+    "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=32768"
+)
+
 import jax
 import jax.numpy as jnp
 
@@ -42,6 +47,7 @@ def setup(**model_overrides):
             "message_passing_steps": MP_STEPS,
             "compute_dtype": "bfloat16",
             "scan_unroll": MP_STEPS,
+            "agg_vjp": "fused",  # the shipped default (ops/pallas/fused_block)
             "rmp": {"clustering": "none", "connector": "none"},
             "graph_balancer": {"algorithm": "none"},
             **model_overrides,
