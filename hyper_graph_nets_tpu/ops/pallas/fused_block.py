@@ -65,6 +65,13 @@ def default_chunk() -> int:
     with ``LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=32768`` (bench.py
     sets this) to enable the larger chunk; chunk 1024 measures slower again
     (window width, and with it one-hot gather FLOPs, grows with the chunk).
+
+    libtpu reads the env var ONCE at backend initialization: set it at
+    process start (before importing/initializing jax) as bench.py and
+    launch/tpu_train.sh do.  Setting it after the backend is up leaves the
+    real limit at 16 MB while this probe sees 32 MB, and the 512-chunk
+    backward then fails to compile (Mosaic scoped-VMEM error) — if that
+    happens, unset the var or pass ``chunk=256`` explicitly.
     """
     import os
     import re
@@ -120,6 +127,38 @@ class BandPlan(NamedTuple):
     @property
     def scan_steps(self) -> int:
         return self.s_tag.shape[0]
+
+
+def check_banded(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_valid: Optional[int] = None,
+    chunk: Optional[int] = None,
+    max_window: int = 2048,
+) -> bool:
+    """Cheap numpy-only probe of the band-plan criterion.
+
+    Same per-chunk window check as :func:`build_band_plan` without
+    building (or uploading) any plan arrays — use this to decide whether
+    a mesh needs RCM reordering (training/simulator._maybe_reorder).
+    """
+    snd = np.asarray(senders, np.int64)
+    rcv = np.asarray(receivers, np.int64)
+    E = snd.shape[0]
+    ev = E if num_valid is None else int(num_valid)
+    if ev and np.any(np.diff(rcv[:ev]) < 0):
+        return False
+    chunk = default_chunk() if chunk is None else chunk
+    for c in range(max(_round_up(E, chunk) // chunk, 1)):
+        sl = slice(c * chunk, min((c + 1) * chunk, ev))
+        if sl.start >= ev:
+            continue
+        cs, cr = snd[sl], rcv[sl]
+        if _round_up(int(cs.max()) - (int(cs.min()) // 16) * 16 + 1, 128) > max_window:
+            return False
+        if _round_up(int(cr.max()) - (int(cr.min()) // 8) * 8 + 1, 128) > max_window:
+            return False
+    return True
 
 
 def build_band_plan(
@@ -552,6 +591,7 @@ def _bwd_kernel(
     WR: int,
     C: int,
     cdt,
+    tie_tol: float,
 ):
     c = pl.program_id(1)
     Tc = e_ref.shape[1]
@@ -616,21 +656,23 @@ def _bwd_kernel(
     rhsw = drhs_ref[0, pl.ds(rlo, WR), :].astype(cdt)  # [WR, 5L]
     got = jnp.dot(ohT, rhsw, preferred_element_type=f32)  # [T, 5L]
 
-    # max/min winners by relative-tolerance compare, not exact equality:
-    # the hybrid path's forward e2 comes from XLA whose matmul reassociation
-    # differs from this recomputation in the last ulps (exact ties still
-    # match; near-ties within 1e-5 share the subgradient, as XLA's own
-    # scatter-max backward does for exact ties)
+    # max/min winner routing.  ``tie_tol`` is a static, path-dependent
+    # relative tolerance: 0 for the kernel-forward path (the saved extrema
+    # came from this exact recomputation, so equality is bitwise and exact
+    # ties share the subgradient as before), and dtype-scaled for the
+    # hybrid XLA-forward path whose e2 differs from this recomputation in
+    # the last ulps (f32: reassociation error ~1e-6 relative; bf16: up to
+    # one ulp = 2^-8 relative when rounding boundaries straddle).
     mx = got[:, L : 2 * L]
     mn = got[:, 3 * L : 4 * L]
     route = got[:, :L]
     route = route + jnp.where(
-        jnp.abs(e2v - mx) <= 1e-5 * (jnp.abs(mx) + 1.0),
+        jnp.abs(e2v - mx) <= tie_tol * jnp.abs(mx) + tie_tol,
         got[:, 2 * L : 3 * L],
         0.0,
     )
     route = route + jnp.where(
-        jnp.abs(e2v - mn) <= 1e-5 * (jnp.abs(mn) + 1.0),
+        jnp.abs(e2v - mn) <= tie_tol * jnp.abs(mn) + tie_tol,
         got[:, 4 * L :],
         0.0,
     )
@@ -707,13 +749,14 @@ def _bwd_call(
     drhs: Array,  # [B, Nr, 5L] f32
     plan: BandPlan,
     interpret: bool,
+    tie_tol: float,
 ):
     B, E_pad, L = e_pad.shape
     Nr = sp.shape[1]
     T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
     cdt = e_pad.dtype
     kernel = functools.partial(
-        _bwd_kernel, L=L, W=W, WR=WR, C=C, cdt=cdt
+        _bwd_kernel, L=L, W=W, WR=WR, C=C, cdt=cdt, tie_tol=tie_tol
     )
     row = lambda a: a.reshape(1, -1)
     ln2 = jnp.stack([weights["lns"], weights["lnb"]])  # [2, L]
@@ -815,7 +858,10 @@ def _zero_plan_cotangent(plan: BandPlan) -> BandPlan:
     return jax.tree.map(zero, plan)
 
 
-def _bwd_core(e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret):
+def _bwd_core(
+    e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret,
+    tie_tol=0.0,
+):
     """Shared backward: remat Pallas kernel + dense weight-grad matmuls.
 
     All inputs padded to the plan's edge/node row counts ([B, E_pad, L] /
@@ -842,7 +888,7 @@ def _bwd_core(e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret):
     )
     de, dh, dz2, dz3, a1, a2, dsp, drp, dpar = _bwd_call(
         e_pad, sp, rp, weights, de2_bar.astype(e_pad.dtype), drhs, plan,
-        interpret,
+        interpret, tie_tol,
     )
     f32 = jnp.float32
     dweights = {
@@ -941,6 +987,8 @@ def _hybrid_bwd(interpret, res, g):
     Nr = plan_node_rows(plan, N)
     pe = lambda a: jnp.pad(ex(a), ((0, 0), (0, E_pad - E), (0, 0)))
     pn = lambda a: jnp.pad(ex(a), ((0, 0), (0, Nr - a.shape[-2]), (0, 0)))
+    # XLA forward vs kernel recompute mismatch scale (see _bwd_kernel)
+    tie_tol = 2.0 ** -8 if e.dtype == jnp.bfloat16 else 1e-5
     de, dsp, drp, dweights = _bwd_core(
         pe(e),
         pn(sp),
@@ -951,6 +999,7 @@ def _hybrid_bwd(interpret, res, g):
         pe(de2_bar),
         pn(dagg_bar),
         interpret,
+        tie_tol=tie_tol,
     )
     de = de[:, :E]
     dsp = dsp[:, : sp.shape[-2]]

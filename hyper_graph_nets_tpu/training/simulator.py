@@ -95,15 +95,15 @@ class MeshSimulator:
         if self.model.params["model"].get("agg_vjp") != "fused":
             return trajectory
         from hyper_graph_nets_tpu.core.mesh import cells_to_edges
-        from hyper_graph_nets_tpu.models.base import try_band_plan
         from hyper_graph_nets_tpu.ops import reorder
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import check_banded
 
         cells = np.asarray(trajectory["cells"][0])
         n = int(trajectory["node_type"].shape[1])
-        key = ("rcm", cells.shape, int(cells[:8].sum()), n)
+        key = self._mesh_key("rcm", trajectory)
         if key not in self._topo_cache:
             edges = cells_to_edges(cells)  # 4-col (quad) cells imply deform
-            if try_band_plan(edges.senders, edges.receivers, n) is not None:
+            if check_banded(edges.senders, edges.receivers):
                 self._topo_cache[key] = None  # already banded
             else:
                 self._topo_cache[key] = reorder.rcm_order(
@@ -120,9 +120,23 @@ class MeshSimulator:
         self._key, k = jax.random.split(self._key)
         return self.trainer.init_train_state(k)
 
+    @staticmethod
+    def _mesh_key(tag: str, trajectory: Dict[str, np.ndarray]) -> Tuple:
+        """Cache key from the full mesh content (shape + cells digest).
+
+        A weak fingerprint (shape + a few cells) can collide between
+        meshes from a shared generator template, silently reusing the
+        wrong topology/permutation — so hash all the connectivity bytes.
+        """
+        import hashlib
+
+        cells = np.ascontiguousarray(trajectory["cells"][0])
+        h = hashlib.blake2b(cells.tobytes(), digest_size=12)
+        h.update(repr(cells.shape).encode())
+        return (tag, h.hexdigest(), int(trajectory["node_type"].shape[1]))
+
     def _topology(self, trajectory: Dict[str, np.ndarray]) -> Topology:
-        cells = np.asarray(trajectory["cells"][0])
-        key = (cells.shape, int(cells[:8].sum()), trajectory["node_type"].shape[1])
+        key = self._mesh_key("topo", trajectory)
         if key not in self._topo_cache:
             if self.capacity is not None:
                 from hyper_graph_nets_tpu.data.bucketing import pad_topology
