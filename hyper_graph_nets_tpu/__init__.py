@@ -46,6 +46,10 @@ def __getattr__(name):
         from hyper_graph_nets_tpu.utils.config import read_yaml
 
         return read_yaml
+    if name == "Predictor":
+        from hyper_graph_nets_tpu.serving import Predictor
+
+        return Predictor
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
@@ -58,4 +62,5 @@ __all__ = [
     "get_balancer",
     "get_data",
     "read_yaml",
+    "Predictor",
 ]
