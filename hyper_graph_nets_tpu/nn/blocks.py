@@ -292,6 +292,7 @@ def _fused_update_and_agg(
     from hyper_graph_nets_tpu.nn.mlp import _dense
     from hyper_graph_nets_tpu.ops.pallas.fused_block import (
         fused_edge_block,
+        fused_edge_block_collective,
         fused_edge_block_hybrid,
     )
 
@@ -312,7 +313,13 @@ def _fused_update_and_agg(
         "lns": eparams["ln"]["scale"],
         "lnb": eparams["ln"]["bias"],
     }
-    if (
+    if cfg.axis_name is not None:
+        # shard_map edge partitioning (forward-only halo path): local
+        # kernel partials + psum/pmax/pmin over the mesh axis
+        e2, agg = fused_edge_block_collective(
+            feats, sp, rp, weights, es.band_plan, num_total, cfg.axis_name
+        )
+    elif (
         cfg.fused_fwd == "xla"
         and es.gather_idx is not None
         and es.gather_idx.ndim == 2
@@ -349,6 +356,37 @@ def _gather_dense_ok(es: EdgeSet, idx: Optional[Array] = None) -> bool:
     """
     gshape = (es.gather_idx if idx is None else idx).shape
     return gshape[-2] * gshape[-1] <= 4 * es.num_edges
+
+
+def _fused_collective_eligible(
+    eparams: dict, es: EdgeSet, cfg: GNNConfig
+) -> bool:
+    """Fused path under shard_map edge partitioning (forward-only halo).
+
+    Same structural requirements as _fused_eligible, but for an
+    axis_name-carrying config with an unbatched local edge shard whose
+    band plan is the local view of a stacked sharded plan
+    (ops.pallas.fused_block.build_sharded_band_plans).
+    """
+    if (
+        cfg.agg_vjp != "fused"
+        or cfg.aggregation != "pna"
+        or cfg.axis_name is None
+        or es.band_plan is None
+        or es.features.ndim != 2
+    ):
+        return False
+    L = cfg.latent_size
+    layers = eparams["layers"]
+    return (
+        len(layers) == 3
+        and "ln" in eparams
+        and "w" in layers[0]
+        and layers[0]["w"].shape == (3 * L, L)
+        and layers[1]["w"].shape == (L, L)
+        and layers[2]["w"].shape == (L, L)
+        and es.features.shape[-1] == L
+    )
 
 
 def _aggregate_sets(
@@ -460,7 +498,9 @@ def _flat_apply_once(params: dict, graph: Graph, cfg: GNNConfig) -> Graph:
     for name in names:
         es = graph.edge_sets[name]
         eparams = params["edge_models"][name]
-        if _fused_eligible(eparams, es, cfg):
+        if _fused_eligible(eparams, es, cfg) or _fused_collective_eligible(
+            eparams, es, cfg
+        ):
             new_feats[name], fused_aggs[name] = _fused_update_and_agg(
                 eparams, all_nodes, es, cfg, num_total
             )

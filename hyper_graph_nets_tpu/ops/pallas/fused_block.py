@@ -168,6 +168,7 @@ def build_band_plan(
     num_valid: Optional[int] = None,
     chunk: int = T_DEFAULT,
     max_window: int = 2048,
+    force_dims: Optional[Tuple[int, int, int, int]] = None,
 ) -> BandPlan:
     """Host: static banded-window plan for a receiver-sorted edge set.
 
@@ -175,6 +176,10 @@ def build_band_plan(
     Raises ``ValueError`` when any chunk's sender/receiver span exceeds
     ``max_window`` (caller falls back to the unfused path; apply
     ``ops.reorder.rcm_order`` first for general meshes).
+
+    ``force_dims`` = (W, WR, scan_steps, nr) lower-bounds the static
+    dimensions — used to build per-shard plans with identical shapes so
+    they stack across an edge-sharded mesh (build_sharded_band_plans).
     """
     snd = np.asarray(senders, np.int64)
     rcv = np.asarray(receivers, np.int64)
@@ -225,13 +230,17 @@ def build_band_plan(
         # widen the node padding requirement instead of failing: the
         # wrapper pads SP/RP/agg rows to cover the largest window
         pass
-    # sentinels: padded edges select no window row and no agg row
-    snd_loc[mask == 0] = W
-    rcv_loc[mask == 0] = WR
-
     steps = 0
     while (1 << steps) < min(seg_max, chunk):
         steps += 1
+    nr_need = max(int(w_s.max()) + W, int(r_lo.max()) + WR)
+    if force_dims is not None:
+        fw, fwr, fsteps, fnr = force_dims
+        W, WR = max(W, fw), max(WR, fwr)
+        steps, nr_need = max(steps, fsteps), max(nr_need, fnr)
+    # sentinels: padded edges select no window row and no agg row
+    snd_loc[mask == 0] = W
+    rcv_loc[mask == 0] = WR
     return BandPlan(
         w_s=jnp.asarray(w_s).reshape(1, C),
         r_lo=jnp.asarray(r_lo).reshape(1, C),
@@ -243,9 +252,7 @@ def build_band_plan(
         w_tag=jnp.zeros((W, 0), jnp.uint8),
         wr_tag=jnp.zeros((WR, 0), jnp.uint8),
         s_tag=jnp.zeros((max(steps, 1), 0), jnp.uint8),
-        nr_tag=jnp.zeros(
-            (max(int(w_s.max()) + W, int(r_lo.max()) + WR), 0), jnp.uint8
-        ),
+        nr_tag=jnp.zeros((nr_need, 0), jnp.uint8),
     )
 
 
@@ -291,6 +298,7 @@ def _fwd_kernel(
     C: int,
     scan_steps: int,
     cdt,
+    finalize: bool = True,
 ):
     c = pl.program_id(1)
     Tc = e_ref.shape[1]
@@ -406,7 +414,10 @@ def _fwd_kernel(
         [new_sum, new_cnt, new_mx, new_mn], axis=-1
     )
 
-    @pl.when(c == C - 1)
+    # with finalize=False the output stays [sum | count | max(-BIG) |
+    # min(+BIG)] — raw partials an edge-sharded caller combines with
+    # psum/pmax/pmin before finalizing (fused_edge_block_collective)
+    @pl.when((c == C - 1) & bool(finalize))
     def _finalize():
         s = agg_ref[0, :, :L]
         n = agg_ref[0, :, L : 2 * L]
@@ -424,6 +435,7 @@ def _fwd_call(
     weights: dict,
     plan: BandPlan,
     interpret: bool,
+    finalize: bool = True,
 ) -> Tuple[Array, Array]:
     B, E_pad, L = e_pad.shape
     Nr = sp.shape[1]
@@ -437,6 +449,7 @@ def _fwd_call(
         C=C,
         scan_steps=plan.scan_steps,
         cdt=cdt,
+        finalize=finalize,
     )
     row = lambda a: a.reshape(1, -1)
     e2, agg = pl.pallas_call(
@@ -1057,3 +1070,140 @@ def fused_edge_block_hybrid(
         interpret,
     )
     return e2, agg[..., :num_nodes, :]
+
+
+# ---------------------------------------------------------------------------
+# edge-sharded collective variant (shard_map halo forward)
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_band_plans(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    num_valid: Optional[int] = None,
+    chunk: Optional[int] = None,
+) -> BandPlan:
+    """Stacked per-shard band plans for an edge-sharded receiver-sorted set.
+
+    The global (padded) edge list is split into ``num_shards`` contiguous
+    slices — the same layout as ``parallel.sharding.shard_topology`` —
+    and each slice gets its own plan, all built with identical static
+    dimensions (``force_dims`` = maxima across shards) so the plan arrays
+    stack: ``w_s``/``r_lo`` stack to ``[num_shards, C]`` and the chunk-
+    indexed arrays concatenate to ``[num_shards * C, ...]``.  Sharding the
+    leading axis with ``PartitionSpec('graph', ...)`` then hands each
+    device exactly its local plan view (shapes identical to a
+    single-device BandPlan, which is what the kernel sees inside
+    shard_map).  NB: the stacked object's ``C`` property reads the global
+    leading axis — it is only meaningful *inside* shard_map.
+    """
+    snd = np.asarray(senders)
+    rcv = np.asarray(receivers)
+    E = len(snd)
+    if E % num_shards:
+        raise ValueError(f"edge count {E} not divisible by {num_shards}")
+    ev = E if num_valid is None else int(num_valid)
+    chunk = default_chunk() if chunk is None else chunk
+    per = E // num_shards
+
+    def shard_plan(s, force=None):
+        lo = s * per
+        return build_band_plan(
+            snd[lo : lo + per],
+            rcv[lo : lo + per],
+            num_nodes,
+            num_valid=int(np.clip(ev - lo, 0, per)),
+            chunk=chunk,
+            force_dims=force,
+        )
+
+    first = [shard_plan(s) for s in range(num_shards)]
+    dims = (
+        max(p.W for p in first),
+        max(p.WR for p in first),
+        max(p.scan_steps for p in first),
+        max(p.nr_tag.shape[0] for p in first),
+    )
+    plans = [shard_plan(s, force=dims) for s in range(num_shards)]
+    cat = lambda get: jnp.concatenate([get(p) for p in plans], axis=0)
+    return BandPlan(
+        w_s=cat(lambda p: p.w_s),
+        r_lo=cat(lambda p: p.r_lo),
+        snd_col=cat(lambda p: p.snd_col),
+        rcv_col=cat(lambda p: p.rcv_col),
+        snd_row=cat(lambda p: p.snd_row),
+        rcv_row=cat(lambda p: p.rcv_row),
+        m_col=cat(lambda p: p.m_col),
+        w_tag=plans[0].w_tag,
+        wr_tag=plans[0].wr_tag,
+        s_tag=plans[0].s_tag,
+        nr_tag=plans[0].nr_tag,
+    )
+
+
+def band_plan_specs(P) -> BandPlan:
+    """PartitionSpec pytree for a stacked sharded plan (leading axis =
+    'graph'); the shape-tag arrays stay replicated."""
+    return BandPlan(
+        w_s=P("graph", None),
+        r_lo=P("graph", None),
+        snd_col=P("graph", None, None),
+        rcv_col=P("graph", None, None),
+        snd_row=P("graph", None, None),
+        rcv_row=P("graph", None, None),
+        m_col=P("graph", None, None),
+        w_tag=P(None, None),
+        wr_tag=P(None, None),
+        s_tag=P(None, None),
+        nr_tag=P(None, None),
+    )
+
+
+def fused_edge_block_collective(
+    e: Array,  # [E_local, L] local edge shard (receiver-sorted slice)
+    sp: Array,  # [N, L] node parts, replicated
+    rp: Array,
+    weights: dict,
+    plan: BandPlan,  # LOCAL plan view (inside shard_map)
+    num_nodes: int,
+    axis_name: str,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Edge-sharded fused update + pna: local kernel partials + collectives.
+
+    Runs the forward kernel unfinalized on the local edge shard, combines
+    the pna partials over ``axis_name`` (sum/count -> psum, max -> pmax,
+    min -> pmin — one ICI all-reduce each), then finalizes (mean division,
+    empty-segment sentinels -> 0).  FORWARD-ONLY, matching the explicit
+    halo path's contract (parallel/halo.py): for training use the GSPMD
+    step, where XLA derives the backward collectives.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    E, L = e.shape[-2], e.shape[-1]
+    E_pad = plan.C * plan.T
+    Nr = plan_node_rows(plan, num_nodes)
+    e_pad = jnp.pad(e[None], ((0, 0), (0, E_pad - E), (0, 0)))
+    sp_pad = jnp.pad(sp[None], ((0, 0), (0, Nr - sp.shape[-2]), (0, 0)))
+    rp_pad = jnp.pad(rp[None], ((0, 0), (0, Nr - rp.shape[-2]), (0, 0)))
+    wk = {
+        k: weights[k]
+        for k in ("we", "w2", "w3", "b1", "b2", "b3", "lns", "lnb")
+    }
+    e2, raw = _fwd_call(e_pad, sp_pad, rp_pad, wk, plan, interpret, finalize=False)
+    s = jax.lax.psum(raw[0, :, :L], axis_name)
+    n = jax.lax.psum(raw[0, :, L : 2 * L], axis_name)
+    mx = jax.lax.pmax(raw[0, :, 2 * L : 3 * L], axis_name)
+    mn = jax.lax.pmin(raw[0, :, 3 * L :], axis_name)
+    agg = jnp.concatenate(
+        [
+            s,
+            s / jnp.maximum(n, 1.0),
+            jnp.where(mx <= -_BIG / 2, 0.0, mx),
+            jnp.where(mn >= _BIG / 2, 0.0, mn),
+        ],
+        axis=-1,
+    )
+    return e2[0, :E], agg[:num_nodes]

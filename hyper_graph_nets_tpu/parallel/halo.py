@@ -31,6 +31,8 @@ from hyper_graph_nets_tpu.nn.meshgraphnet import network_apply
 
 def graph_partition_specs(graph: Graph) -> Graph:
     """PartitionSpec pytree: edge arrays over 'graph', node tiers replicated."""
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import band_plan_specs
+
     edge_specs = {}
     for name, es in graph.edge_sets.items():
         edge_specs[name] = EdgeSet(
@@ -40,6 +42,9 @@ def graph_partition_specs(graph: Graph) -> Graph:
             mask=None if es.mask is None else P("graph"),
             gather_idx=None,
             gather_valid=None,
+            # stacked sharded band plan: leading axis over 'graph', so
+            # each device sees its local plan (fused halo forward)
+            band_plan=None if es.band_plan is None else band_plan_specs(P),
         )
     return Graph(
         node_features=P(),

@@ -58,11 +58,20 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, pad_value=0) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
-def shard_topology(topo: Topology, mesh: Mesh) -> Topology:
+def shard_topology(
+    topo: Topology, mesh: Mesh, band_plans: bool = False
+) -> Topology:
     """Pad edges to a multiple of the graph axis and device_put sharded.
 
     Padded edges use ``receiver = num_nodes - 1`` (preserving the
     receiver-sorted invariant) with mask 0.
+
+    ``band_plans=True`` builds a stacked per-shard band plan (for the
+    shard_map halo forward's fused kernel —
+    ops.pallas.fused_block.build_sharded_band_plans).  Keep it off for
+    the GSPMD training step: a pallas_call is opaque to the GSPMD
+    partitioner, so the fused path must not trigger inside pjit with
+    sharded edges.
     """
     g = mesh.shape["graph"]
     n_valid = len(topo.senders)
@@ -70,6 +79,15 @@ def shard_topology(topo: Topology, mesh: Mesh) -> Topology:
     receivers = pad_to_multiple(topo.receivers, g, pad_value=topo.num_nodes - 1)
     mask = np.zeros(len(senders), np.float32)
     mask[:n_valid] = 1.0
+    band_plan = None
+    if band_plans and topo.band_plan is not None:
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+            build_sharded_band_plans,
+        )
+
+        band_plan = build_sharded_band_plans(
+            senders, receivers, topo.num_nodes, g, num_valid=n_valid
+        )
     sharding = NamedSharding(mesh, P("graph"))
     # NB: no gather matrix here — with edges sharded over 'graph', scatter
     # segment ops partition into local partial sums + an all-reduce, which is
@@ -83,6 +101,7 @@ def shard_topology(topo: Topology, mesh: Mesh) -> Topology:
         # model-specific static aux (e.g. plate obstacle indices) is small
         # and stays replicated
         aux=topo.aux,
+        band_plan=band_plan,
     )
 
 

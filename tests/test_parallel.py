@@ -119,6 +119,43 @@ class TestSharding:
         out_ref = np.asarray(model.forward(tstate.model, graph_u))
         np.testing.assert_allclose(out_halo, out_ref, rtol=1e-5, atol=1e-6)
 
+    def test_halo_forward_fused_kernel(self):
+        """The fused Pallas MP-block kernel composes with the shard_map
+        halo forward: per-shard band plans + psum/pmax/pmin partials
+        reproduce the single-device forward."""
+        from hyper_graph_nets_tpu.parallel import halo
+
+        params = {
+            **PARAMS,
+            "model": {**PARAMS["model"], "agg_vjp": "fused"},
+        }
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=12, nx=6, ny=6),
+            "world_pos", True,
+        )
+        model = FlagModel(params)
+        topo = model.topology_from_trajectory(traj)
+        assert topo.band_plan is not None
+        trainer = Trainer(model, params)
+        tstate = trainer.init_train_state(jax.random.PRNGKey(0))
+
+        mesh = sharding.make_mesh(data=1, graph=8)
+        stopo = sharding.shard_topology(topo, mesh, band_plans=True)
+        assert stopo.band_plan is not None
+        frame = {k: jnp.asarray(v[0]) for k, v in traj.items() if k != "cells"}
+        graph, _, _ = model.make_graph(
+            tstate.model, stopo, frame, False, batched=False
+        )
+        assert graph.edge_sets["mesh_edges"].band_plan is not None
+        fwd = halo.make_halo_forward(model, mesh)
+        out_halo = np.asarray(fwd(tstate.model.params, graph))
+
+        graph_u, _, _ = model.make_graph(
+            tstate.model, topo, frame, False, batched=False
+        )
+        out_ref = np.asarray(model.forward(tstate.model, graph_u))
+        np.testing.assert_allclose(out_halo, out_ref, rtol=1e-4, atol=2e-5)
+
     def test_data_only_mesh(self, setup):
         traj, model, topo, trainer, tstate = setup
         mesh = sharding.make_mesh(data=8, graph=1)
