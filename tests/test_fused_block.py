@@ -316,7 +316,7 @@ class TestFusedHierarchicalParity:
     matches the unfused path — cluster-tier edge sets stay unfused (no band
     plan), mesh_edges goes through the fused update+aggregate."""
 
-    def _run(self, vjp):
+    def _run(self, vjp, connector="hyper"):
         from hyper_graph_nets_tpu.data import synthetic
         from hyper_graph_nets_tpu.data.preprocessing import add_targets
         from hyper_graph_nets_tpu.models.flag import FlagModel
@@ -333,7 +333,7 @@ class TestFusedHierarchicalParity:
                 "rmp": {
                     "num_clusters": 4, "hyper_noise": 0.0,
                     "hyper_node_features": True, "frequency": 1,
-                    "clustering": "spectral", "connector": "hyper",
+                    "clustering": "spectral", "connector": connector,
                     "fully_connect": False,
                     "intra_cluster_sampling": {
                         "enabled": False, "alpha": 0.1, "spotter_threshold": 0
@@ -374,6 +374,18 @@ class TestFusedHierarchicalParity:
             mismatched += int(np.sum(np.abs(a - b) > 1e-3 * (np.abs(b) + 0.1)))
             total += a.size
         assert mismatched / total < 1e-3, f"{mismatched}/{total}"
+
+    def test_multiscale_fused_matches_xla(self):
+        """MultiScaleGraphNet (two mesh sub-steps per block, 3 cross
+        rounds) also routes its mesh edge set through the fused kernel
+        with unchanged results."""
+        l1, t1 = self._run("xla", connector="multiscale")
+        l2, t2 = self._run("fused", connector="multiscale")
+        assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
+        for a, b in zip(
+            jax.tree.leaves(t1.model.params), jax.tree.leaves(t2.model.params)
+        ):
+            assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) < 5e-3
 
 
 def test_band_plan_rejects_wide_window():
