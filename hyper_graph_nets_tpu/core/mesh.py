@@ -115,3 +115,20 @@ def pad_edges(
     rcv = np.concatenate([receivers, np.full(pad, pad_index, np.int32)]).astype(np.int32)
     mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
     return snd, rcv, mask
+
+
+def mesh_fingerprint(cells, num_nodes: int) -> tuple:
+    """Content digest of a mesh's connectivity, for host-side caches.
+
+    Hashes ALL cell bytes (shape included): weak fingerprints (a few cells
+    + shape) can collide between meshes from a shared generator template
+    and silently reuse the wrong cached topology/permutation.
+    """
+    import hashlib
+
+    import numpy as _np
+
+    cells = _np.ascontiguousarray(cells)
+    h = hashlib.blake2b(cells.tobytes(), digest_size=12)
+    h.update(repr(cells.shape).encode())
+    return (h.hexdigest(), int(num_nodes))

@@ -261,19 +261,24 @@ def _fused_eligible(eparams: dict, es: EdgeSet, cfg: GNNConfig) -> bool:
     the standard processor MLP shape [3L -> L -> L -> L] + LayerNorm that
     the kernel hard-codes.
     """
-    if (
-        cfg.agg_vjp != "fused"
-        or cfg.aggregation != "pna"
-        or cfg.axis_name is not None
-        or es.band_plan is None
-    ):
-        return False
+    return (
+        cfg.agg_vjp == "fused"
+        and cfg.aggregation == "pna"
+        and cfg.axis_name is None
+        and es.band_plan is not None
+        and _fused_mlp_shape_ok(eparams, es, cfg)
+    )
+
+
+def _fused_mlp_shape_ok(eparams: dict, es: EdgeSet, cfg: GNNConfig) -> bool:
+    """The [3L -> L -> L -> L] + LayerNorm float-weight structure the
+    fused kernel hard-codes (int8 inference params stay unfused)."""
     L = cfg.latent_size
     layers = eparams["layers"]
     return (
         len(layers) == 3
         and "ln" in eparams
-        and "w" in layers[0]  # float weights (int8 inference stays unfused)
+        and "w" in layers[0]
         and layers[0]["w"].shape == (3 * L, L)
         and layers[1]["w"].shape == (L, L)
         and layers[2]["w"].shape == (L, L)
@@ -368,24 +373,13 @@ def _fused_collective_eligible(
     band plan is the local view of a stacked sharded plan
     (ops.pallas.fused_block.build_sharded_band_plans).
     """
-    if (
-        cfg.agg_vjp != "fused"
-        or cfg.aggregation != "pna"
-        or cfg.axis_name is None
-        or es.band_plan is None
-        or es.features.ndim != 2
-    ):
-        return False
-    L = cfg.latent_size
-    layers = eparams["layers"]
     return (
-        len(layers) == 3
-        and "ln" in eparams
-        and "w" in layers[0]
-        and layers[0]["w"].shape == (3 * L, L)
-        and layers[1]["w"].shape == (L, L)
-        and layers[2]["w"].shape == (L, L)
-        and es.features.shape[-1] == L
+        cfg.agg_vjp == "fused"
+        and cfg.aggregation == "pna"
+        and cfg.axis_name is not None
+        and es.band_plan is not None
+        and es.features.ndim == 2
+        and _fused_mlp_shape_ok(eparams, es, cfg)
     )
 
 

@@ -129,6 +129,23 @@ class BandPlan(NamedTuple):
         return self.s_tag.shape[0]
 
 
+def _chunk_windows(snd, rcv, ev, chunk):
+    """Per-chunk aligned window starts/widths of a receiver-sorted edge
+    list: yields (chunk_index, slice, ws, rl, w_need, wr_need); skips
+    all-padding chunks."""
+    E = snd.shape[0]
+    for c in range(max(_round_up(E, chunk) // chunk, 1)):
+        sl = slice(c * chunk, min((c + 1) * chunk, ev))
+        if sl.start >= ev:
+            continue
+        cs, cr = snd[sl], rcv[sl]
+        ws = (int(cs.min()) // 16) * 16
+        rl = (int(cr.min()) // 8) * 8
+        w_need = _round_up(int(cs.max()) - ws + 1, 128)
+        wr_need = _round_up(int(cr.max()) - rl + 1, 128)
+        yield c, sl, ws, rl, w_need, wr_need
+
+
 def check_banded(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -144,21 +161,14 @@ def check_banded(
     """
     snd = np.asarray(senders, np.int64)
     rcv = np.asarray(receivers, np.int64)
-    E = snd.shape[0]
-    ev = E if num_valid is None else int(num_valid)
+    ev = snd.shape[0] if num_valid is None else int(num_valid)
     if ev and np.any(np.diff(rcv[:ev]) < 0):
         return False
     chunk = default_chunk() if chunk is None else chunk
-    for c in range(max(_round_up(E, chunk) // chunk, 1)):
-        sl = slice(c * chunk, min((c + 1) * chunk, ev))
-        if sl.start >= ev:
-            continue
-        cs, cr = snd[sl], rcv[sl]
-        if _round_up(int(cs.max()) - (int(cs.min()) // 16) * 16 + 1, 128) > max_window:
-            return False
-        if _round_up(int(cr.max()) - (int(cr.min()) // 8) * 8 + 1, 128) > max_window:
-            return False
-    return True
+    return all(
+        w <= max_window and wr <= max_window
+        for _, _, _, _, w, wr in _chunk_windows(snd, rcv, ev, chunk)
+    )
 
 
 def build_band_plan(
@@ -198,22 +208,13 @@ def build_band_plan(
     rcv_loc = np.zeros(E_pad, np.int32)
     W = WR = 128
     seg_max = 1
-    for c in range(C):
-        sl = slice(c * chunk, min((c + 1) * chunk, ev))
-        if sl.start >= ev:  # all-padding chunk
-            w_s[c] = 0
-            r_lo[c] = 0
-            continue
-        cs, cr = snd[sl], rcv[sl]
-        ws = (int(cs.min()) // 16) * 16
-        rl = (int(cr.min()) // 8) * 8
-        w_need = _round_up(int(cs.max()) - ws + 1, 128)
-        wr_need = _round_up(int(cr.max()) - rl + 1, 128)
+    for c, sl, ws, rl, w_need, wr_need in _chunk_windows(snd, rcv, ev, chunk):
         if w_need > max_window or wr_need > max_window:
             raise ValueError(
                 f"chunk {c}: window {max(w_need, wr_need)} exceeds "
                 f"max_window={max_window}; reorder the mesh (rcm_order)"
             )
+        cs, cr = snd[sl], rcv[sl]
         W = max(W, w_need)
         WR = max(WR, wr_need)
         w_s[c] = ws
@@ -222,14 +223,6 @@ def build_band_plan(
         rcv_loc[sl] = cr - rl
         runs = np.diff(np.flatnonzero(np.r_[True, np.diff(cr) != 0, True]))
         seg_max = max(seg_max, int(runs.max()))
-    # windows must stay inside the padded node space
-    n_r8 = _round_up(num_nodes, 8)
-    if int(w_s.max()) + W > _round_up(num_nodes, 16) + 16 or (
-        int(r_lo.max()) + WR > n_r8 + 8
-    ):
-        # widen the node padding requirement instead of failing: the
-        # wrapper pads SP/RP/agg rows to cover the largest window
-        pass
     steps = 0
     while (1 << steps) < min(seg_max, chunk):
         steps += 1
@@ -253,6 +246,28 @@ def build_band_plan(
         wr_tag=jnp.zeros((WR, 0), jnp.uint8),
         s_tag=jnp.zeros((max(steps, 1), 0), jnp.uint8),
         nr_tag=jnp.zeros((nr_need, 0), jnp.uint8),
+    )
+
+
+_EDGE_WEIGHT_KEYS = ("we", "w2", "w3", "b1", "b2", "b3", "lns", "lnb")
+
+
+def _edge_weights(weights: dict) -> dict:
+    """Restrict to the edge-side keys so custom-VJP cotangent structures
+    match (callers may pass a larger per-block dict)."""
+    return {k: weights[k] for k in _EDGE_WEIGHT_KEYS}
+
+
+def _pad_to_plan(e3: Array, sp3: Array, rp3: Array, plan: BandPlan,
+                 num_nodes: int) -> Tuple[Array, Array, Array]:
+    """Pad batched inputs to the plan's edge/node row counts."""
+    E = e3.shape[1]
+    E_pad = plan.C * plan.T
+    Nr = plan_node_rows(plan, num_nodes)
+    return (
+        jnp.pad(e3, ((0, 0), (0, E_pad - E), (0, 0))),
+        jnp.pad(sp3, ((0, 0), (0, Nr - sp3.shape[1]), (0, 0))),
+        jnp.pad(rp3, ((0, 0), (0, Nr - rp3.shape[1]), (0, 0))),
     )
 
 
@@ -527,19 +542,11 @@ def fused_edge_block(
     e3 = e[None] if squeeze else e
     sp3 = sp[None] if squeeze else sp
     rp3 = rp[None] if squeeze else rp
-    B, E, L = e3.shape
-    E_pad = plan.C * plan.T
-    Nr = plan_node_rows(plan, num_nodes)
-    e_pad = jnp.pad(e3, ((0, 0), (0, E_pad - E), (0, 0)))
-    sp_pad = jnp.pad(sp3, ((0, 0), (0, Nr - sp3.shape[1]), (0, 0)))
-    rp_pad = jnp.pad(rp3, ((0, 0), (0, Nr - rp3.shape[1]), (0, 0)))
-    # restrict to the edge-side keys so the custom-VJP cotangent structure
-    # matches (callers may pass a larger per-block dict)
-    wk = {
-        k: weights[k]
-        for k in ("we", "w2", "w3", "b1", "b2", "b3", "lns", "lnb")
-    }
-    e2, agg = _fused_vjp(e_pad, sp_pad, rp_pad, wk, plan, interpret)
+    E = e3.shape[1]
+    e_pad, sp_pad, rp_pad = _pad_to_plan(e3, sp3, rp3, plan, num_nodes)
+    e2, agg = _fused_vjp(
+        e_pad, sp_pad, rp_pad, _edge_weights(weights), plan, interpret
+    )
     e2 = e2[:, :E, :]
     agg = agg[:, :num_nodes, :]
     if squeeze:
@@ -1061,10 +1068,7 @@ def fused_edge_block_hybrid(
     ``gather_idx`` rows define the aggregate's row count (= ``num_nodes``
     at the caller's row space).
     """
-    wk = {
-        k: weights[k]
-        for k in ("we", "w2", "w3", "b1", "b2", "b3", "lns", "lnb")
-    }
+    wk = _edge_weights(weights)
     e2, agg = _hybrid_vjp(
         e, sp, rp, wk, plan, senders, receivers, gather_idx, gather_valid,
         interpret,
@@ -1183,16 +1187,11 @@ def fused_edge_block_collective(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     E, L = e.shape[-2], e.shape[-1]
-    E_pad = plan.C * plan.T
-    Nr = plan_node_rows(plan, num_nodes)
-    e_pad = jnp.pad(e[None], ((0, 0), (0, E_pad - E), (0, 0)))
-    sp_pad = jnp.pad(sp[None], ((0, 0), (0, Nr - sp.shape[-2]), (0, 0)))
-    rp_pad = jnp.pad(rp[None], ((0, 0), (0, Nr - rp.shape[-2]), (0, 0)))
-    wk = {
-        k: weights[k]
-        for k in ("we", "w2", "w3", "b1", "b2", "b3", "lns", "lnb")
-    }
-    e2, raw = _fwd_call(e_pad, sp_pad, rp_pad, wk, plan, interpret, finalize=False)
+    e_pad, sp_pad, rp_pad = _pad_to_plan(e[None], sp[None], rp[None], plan, num_nodes)
+    e2, raw = _fwd_call(
+        e_pad, sp_pad, rp_pad, _edge_weights(weights), plan, interpret,
+        finalize=False,
+    )
     s = jax.lax.psum(raw[0, :, :L], axis_name)
     n = jax.lax.psum(raw[0, :, L : 2 * L], axis_name)
     mx = jax.lax.pmax(raw[0, :, 2 * L : 3 * L], axis_name)

@@ -92,11 +92,11 @@ class Predictor:
 
     # -- topology ----------------------------------------------------------
     def _topology(self, trajectory: Dict[str, np.ndarray]):
-        import hashlib
+        from hyper_graph_nets_tpu.core.mesh import mesh_fingerprint
 
-        cells = np.ascontiguousarray(trajectory["cells"][0])
-        h = hashlib.blake2b(cells.tobytes(), digest_size=12)
-        key = (h.hexdigest(), int(trajectory["node_type"].shape[1]))
+        key = mesh_fingerprint(
+            trajectory["cells"][0], trajectory["node_type"].shape[1]
+        )
         if key not in self._topo_cache:
             self._topo_cache[key] = self.model.topology_from_trajectory(
                 trajectory

@@ -122,18 +122,12 @@ class MeshSimulator:
 
     @staticmethod
     def _mesh_key(tag: str, trajectory: Dict[str, np.ndarray]) -> Tuple:
-        """Cache key from the full mesh content (shape + cells digest).
+        """Cache key from the full mesh content (core.mesh.mesh_fingerprint)."""
+        from hyper_graph_nets_tpu.core.mesh import mesh_fingerprint
 
-        A weak fingerprint (shape + a few cells) can collide between
-        meshes from a shared generator template, silently reusing the
-        wrong topology/permutation — so hash all the connectivity bytes.
-        """
-        import hashlib
-
-        cells = np.ascontiguousarray(trajectory["cells"][0])
-        h = hashlib.blake2b(cells.tobytes(), digest_size=12)
-        h.update(repr(cells.shape).encode())
-        return (tag, h.hexdigest(), int(trajectory["node_type"].shape[1]))
+        return (tag,) + mesh_fingerprint(
+            trajectory["cells"][0], trajectory["node_type"].shape[1]
+        )
 
     def _topology(self, trajectory: Dict[str, np.ndarray]) -> Topology:
         key = self._mesh_key("topo", trajectory)
