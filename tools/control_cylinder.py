@@ -1,0 +1,265 @@
+"""Controlled accuracy comparison on CYLINDER: this framework vs the torch reference.
+
+Completes the control trio (plate: tools/control_plate.py, flag:
+tools/control_flag.py) with the third system family — 1st-order Eulerian
+velocity dynamics with a pressure output split (reference
+src/model/cylinder.py): identical synthetic data, identical protocol,
+MGN and HGN runs on both frameworks.
+
+Usage: python tools/control_cylinder.py <ref-mgn|ref-hgn|ours-mgn|ours-hgn|all>
+Writes CONTROL_cylinder_<run>.json into control_out/.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_DIR = os.path.join(REPO, "control_out")
+
+# ---- protocol (identical for every run) ----------------------------------
+NX, NY = 16, 10
+T_RAW = 50
+N_TRAIN = 12
+N_TEST = 3
+EPOCHS = 10
+LR = 1e-4
+MP_STEPS = 5
+NOISE = 0.003
+GAMMA = 0.9
+NUM_CLUSTERS = 8
+HYPER_NOISE = 0.005
+N_STEP = 10
+
+
+def make_data():
+    from hyper_graph_nets_tpu.data import synthetic
+    from hyper_graph_nets_tpu.data.preprocessing import add_targets
+
+    mk = lambda seed: add_targets(
+        synthetic.cylinder_trajectory(num_steps=T_RAW, nx=NX, ny=NY, seed=seed),
+        "velocity",
+        history=False,
+    )
+    return [mk(i) for i in range(N_TRAIN)], [mk(100 + i) for i in range(N_TEST)]
+
+
+def model_config(hgn: bool) -> dict:
+    rmp_common = {
+        "num_clusters": NUM_CLUSTERS,
+        "hyper_noise": HYPER_NOISE,
+        "hyper_node_features": True,
+        "frequency": 1,
+        "fully_connect": False,
+        "intra_cluster_sampling": {
+            "enabled": False, "alpha": 0.1, "spotter_threshold": 0,
+        },
+        "hdbscan": {
+            "max_cluster_size": 50, "min_cluster_size": 20,
+            "min_samples": 1, "spotter_threshold": 0.9,
+        },
+    }
+    rmp = dict(
+        rmp_common,
+        clustering="spectral" if hgn else "none",
+        connector="hyper" if hgn else "none",
+    )
+    return {
+        "field": "velocity",
+        "history": False,
+        "size": 3,
+        "noise": NOISE,
+        "gamma": GAMMA,
+        "aggregation": "pna",
+        "learning_rate": LR,
+        "message_passing_steps": MP_STEPS,
+        "rmp": rmp,
+        "graph_balancer": {
+            "algorithm": "none",
+            "frequency": 1,
+            "remove_edges": True,
+            "ricci": {"loops": 150, "tau": 150},
+            "random": {"edge_amount": 100},
+        },
+    }
+
+
+def aligned_mse(pred: np.ndarray, gt: np.ndarray) -> float:
+    """pred[s] is the state after s+1 updates -> compare to gt[s+1]."""
+    n = min(len(pred) - 1, len(gt) - 1)
+    return float(np.mean((pred[:n] - gt[1 : n + 1]) ** 2))
+
+
+# ---------------------------------------------------------------------------
+# torch reference driver
+# ---------------------------------------------------------------------------
+def run_reference(hgn: bool) -> dict:
+    import torch
+
+    from tests.refbridge import load_reference
+
+    load_reference()
+    from src.model.cylinder import CylinderModel
+
+    torch.manual_seed(0)
+    np.random.seed(0)
+    random.seed(0)
+
+    train, test = make_data()
+    model = CylinderModel(model_config(hgn))
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+
+    def to_frames(traj, noisy):
+        T = traj["velocity"].shape[0]
+        frames = []
+        for i in range(T):
+            f = {k: torch.from_numpy(np.array(v[i])) for k, v in traj.items()}
+            f["node_type"] = f["node_type"].int()
+            f["cells"] = f["cells"].long()
+            if noisy:
+                noise = torch.from_numpy(
+                    np.random.normal(0, NOISE, f["velocity"].shape).astype(
+                        np.float32
+                    )
+                )
+                mask = (f["node_type"][:, 0] == 0)[:, None]
+                noise = torch.where(mask, noise, torch.zeros_like(noise))
+                f["velocity"] = f["velocity"] + noise
+                f["target|velocity"] = f["target|velocity"] + (1.0 - GAMMA) * noise
+            frames.append(f)
+        return frames
+
+    def to_torch_traj(traj):
+        out = {k: torch.from_numpy(np.array(v)) for k, v in traj.items()}
+        out["node_type"] = out["node_type"].int()
+        out["cells"] = out["cells"].long()
+        return out
+
+    history = []
+    t_start = time.time()
+    for epoch in range(EPOCHS):
+        model.train()
+        np.random.seed(0)
+        for traj in train:
+            frames = to_frames(traj, noisy=True)
+            num_steps = len(frames)
+            batches = []
+            for i, frame in enumerate(frames):
+                graph = model.build_graph(frame, is_training=True)
+                graph = model.expand_graph(graph, i, num_steps, is_training=True)
+                batches.append((graph, frame))
+            random.shuffle(batches)
+            for graph, frame in batches:
+                loss = model.training_step(graph, frame)
+                loss.backward()
+                opt.step()
+                opt.zero_grad()
+
+        model.eval()
+        roll_internal, roll_aligned = [], []
+        for traj in test:
+            tt = to_torch_traj(traj)
+            ops, mse = model.rollout(tt, num_steps=None)
+            pred = ops["pred_velocity"].detach().numpy()
+            gt = traj["velocity"]
+            roll_internal.append(float(mse.mean()))
+            roll_aligned.append(aligned_mse(pred, gt))
+        rec = {
+            "epoch": epoch,
+            "rollout_mse_internal": float(np.mean(roll_internal)),
+            "rollout_mse_aligned": float(np.mean(roll_aligned)),
+            "wall_s": time.time() - t_start,
+        }
+        history.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    n_means, n_lasts = [], []
+    for traj in test:
+        m, l = model.n_step_computation(to_torch_traj(traj), N_STEP)
+        n_means.append(float(m))
+        n_lasts.append(float(l))
+    return {
+        "history": history,
+        "n_step_loss": float(np.mean(n_means)),
+        "n_step_last_loss": float(np.mean(n_lasts)),
+        "total_wall_s": time.time() - t_start,
+    }
+
+
+# ---------------------------------------------------------------------------
+# our driver
+# ---------------------------------------------------------------------------
+def run_ours(hgn: bool) -> dict:
+    from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+
+    train, test = make_data()
+    params = {
+        "task": {"dataset": "cylinder_flow", "batch_size": 1},
+        "model": model_config(hgn),
+        "random_seed": 0,
+    }
+    sim = MeshSimulator(params, out_dir=os.path.join(OUT_DIR, "ours_cyl_tmp"))
+    ts = sim.initialize()
+
+    history = []
+    t_start = time.time()
+    for epoch in range(EPOCHS):
+        for traj in train:
+            ts, _ = sim.fit_trajectory(ts, traj, epoch=epoch)
+        res = sim.rollout_evaluator(ts, test, logging=False, save=False)
+        roll_aligned = [
+            aligned_mse(np.asarray(r["pred_velocity"]), np.asarray(r["gt_velocity"]))
+            for r in res["rollouts"]
+        ]
+        rec = {
+            "epoch": epoch,
+            "rollout_mse_internal": float(res["rollout_loss"]),
+            "rollout_mse_aligned": float(np.mean(roll_aligned)),
+            "wall_s": time.time() - t_start,
+        }
+        history.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    nres = sim.n_step_evaluator(ts, test, n_step=N_STEP, logging=False)
+    return {
+        "history": history,
+        "n_step_loss": nres["n_step_loss"],
+        "n_step_last_loss": nres["n_step_last_loss"],
+        "total_wall_s": time.time() - t_start,
+    }
+
+
+RUNS = {
+    "ref-mgn": lambda: run_reference(False),
+    "ref-hgn": lambda: run_reference(True),
+    "ours-mgn": lambda: run_ours(False),
+    "ours-hgn": lambda: run_ours(True),
+}
+
+
+def main():
+    os.makedirs(OUT_DIR, exist_ok=True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = list(RUNS) if which == "all" else [which]
+    if any(n.startswith("ours") for n in names):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    for name in names:
+        print(f"== {name} ==", flush=True)
+        result = RUNS[name]()
+        path = os.path.join(OUT_DIR, f"CONTROL_cylinder_{name}.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
