@@ -237,13 +237,16 @@ class TestExpansion:
         shapes2 = jax.tree.map(lambda x: np.shape(x), static2._asdict())
         assert shapes1 == shapes2
 
-    def test_cylinder_rmp_supported(self):
+    @pytest.mark.parametrize("clustering", ["kmeans", "spectral"])
+    def test_cylinder_rmp_supported(self, clustering):
         """Cylinder + RMP works here (the reference's _get_subgraph raises
-        for non-flag/plate model types — abstract_connector.py:95-100; our
-        connector splits at the true world_dim)."""
+        for non-flag/plate model types — abstract_connector.py:95-100, and
+        its SpectralClustering hardcodes 3D edge features and crashes on
+        the 2D cylinder — spectral_clustering.py:47; our connector and
+        affinity split at the true world_dim)."""
         from hyper_graph_nets_tpu.models.cylinder import CylinderModel
 
-        crmp = {**RMP_BASE, "clustering": "kmeans", "connector": "hyper"}
+        crmp = {**RMP_BASE, "clustering": clustering, "connector": "hyper"}
         cp = {
             "task": {"dataset": "cylinder_flow"},
             "model": {
