@@ -66,9 +66,16 @@ def model_config(hgn: bool) -> dict:
             "min_samples": 1, "spotter_threshold": 0.9,
         },
     }
+    # kmeans, not spectral: the reference's SpectralClustering hardcodes
+    # 3D mesh-edge features (spectral_clustering.py:47 indexes f[3]) and
+    # CRASHES on the 2D cylinder system; its KMeans clusters on
+    # mesh_features[:, :2] and runs.  (This framework's spectral handles
+    # cylinder — the connector splits at the true world_dim rather than
+    # the reference's hardcoded 3/3 — but the control needs a
+    # configuration BOTH sides can run.)
     rmp = dict(
         rmp_common,
-        clustering="spectral" if hgn else "none",
+        clustering="kmeans" if hgn else "none",
         connector="hyper" if hgn else "none",
     )
     return {
@@ -236,9 +243,31 @@ def run_ours(hgn: bool) -> dict:
     }
 
 
+def run_reference_hgn() -> dict:
+    """The reference cannot run HGN on cylinder at all; record the crash.
+
+    Two independent failures in the reference code path (verified by
+    running it): SpectralClustering indexes f[3] of 3-dim 2D edge features
+    (spectral_clustering.py:47), and with KMeans instead the hierarchical
+    connector's hardcoded [:3]/[3:] world/mesh split produces inconsistent
+    hyper-edge feature widths that crash the normalizer accumulation
+    (normalizer.py:60, 7 vs 6).  This framework's connector splits at the
+    true world_dim, so ours-hgn runs (and is the comparison point).
+    """
+    try:
+        return run_reference(True)
+    except Exception as e:  # noqa: BLE001 - recording the failure is the point
+        return {
+            "unsupported": True,
+            "error": repr(e),
+            "note": "reference HGN is flag/plate-only (hardcoded 3D world "
+            "splits); see tools/control_cylinder.py docstring",
+        }
+
+
 RUNS = {
     "ref-mgn": lambda: run_reference(False),
-    "ref-hgn": lambda: run_reference(True),
+    "ref-hgn": run_reference_hgn,
     "ours-mgn": lambda: run_ours(False),
     "ours-hgn": lambda: run_ours(True),
 }
