@@ -207,6 +207,46 @@ class TestHybridParity:
                 rtol=1e-4, err_msg=f"weight grad {k}",
             )
 
+    def test_bf16_gradients_route(self):
+        """Under bf16 compute the hybrid backward still routes max/min
+        gradients (tie tolerance 2^-8 covers XLA-vs-kernel bf16 rounding
+        mismatches); grads stay close to the f32 oracle at bf16 accuracy."""
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+            fused_edge_block_hybrid,
+        )
+
+        e, sp, rp, wk, snd, rcv, mask, plan, gidx, gvalid = self._case(seed=21)
+        bf = jnp.bfloat16
+        eb, spb, rpb = e.astype(bf), sp.astype(bf), rp.astype(bf)
+        gagg = jnp.asarray(
+            np.random.default_rng(22).normal(size=(64, 32)).astype(np.float32)
+        )
+
+        def loss_h(e1, sp1, rp1):
+            _, agg = fused_edge_block_hybrid(
+                e1, sp1, rp1, wk, plan, 64, snd, rcv, gidx, gvalid
+            )
+            return jnp.vdot(agg.astype(jnp.float32), gagg)
+
+        def loss_ref(e1, sp1, rp1):
+            _, agg = _oracle(
+                e1.astype(jnp.float32), sp1.astype(jnp.float32),
+                rp1.astype(jnp.float32), wk, snd, rcv, mask, 64,
+            )
+            return jnp.vdot(agg, gagg)
+
+        gh = jax.grad(loss_h, argnums=(0, 1, 2))(eb, spb, rpb)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(e, sp, rp)
+        for h, r in zip(gh, gr):
+            h32 = np.asarray(h, np.float32)
+            r32 = np.asarray(r)
+            assert np.isfinite(h32).all()
+            # max-grad must not be dropped wholesale: overall correlation
+            # with the f32 oracle stays high at bf16 resolution
+            denom = np.linalg.norm(r32) * np.linalg.norm(h32) + 1e-9
+            corr = float((h32 * r32).sum() / denom)
+            assert corr > 0.98, corr
+
     def test_vmap_batched(self):
         from hyper_graph_nets_tpu.ops.pallas.fused_block import (
             fused_edge_block_hybrid,
