@@ -295,7 +295,37 @@ def _hgn_plate_throughput() -> dict:
     }
 
 
+def _wait_for_device(max_tries: int = 10, sleep_s: float = 60.0) -> None:
+    """Block until the TPU backend initializes (the tunnel has transient
+    outages).  Probes in a subprocess — a failed in-process init can stick
+    in the JAX backend cache — and gives the real run a clean process
+    state.  Gives up (and lets the real init raise) after ~10 minutes.
+    """
+    import subprocess
+    import sys
+
+    probe = "import jax; jax.devices()"
+    for i in range(max_tries):
+        try:
+            ok = (
+                subprocess.run(
+                    [sys.executable, "-c", probe],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                    timeout=180,
+                ).returncode
+                == 0
+            )
+        except subprocess.TimeoutExpired:
+            ok = False  # init hung — tunnel down
+        if ok:
+            return
+        if i < max_tries - 1:
+            time.sleep(sleep_s)
+
+
 def main():
+    _wait_for_device()
     result = _jax_throughput()
     try:
         hgn = _hgn_plate_throughput()
