@@ -436,6 +436,47 @@ def test_band_plan_rejects_wide_window():
         build_band_plan(snd, rcv, 4096, chunk=512, max_window=1024)
 
 
+@pytest.mark.parametrize("seed,N,E_valid,E,chunk", [
+    (31, 64, 220, 256, 128),
+    (32, 200, 700, 768, 256),
+    (33, 50, 120, 256, 128),  # heavy padding tail
+])
+def test_band_plan_invariants(seed, N, E_valid, E, chunk):
+    """Structural invariants every plan must satisfy: window-local ids
+    reconstruct the global edge list, sentinels mark exactly the padded
+    tail, and static dims are tile-aligned."""
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(
+        seed, N, E_valid, E, 8, B=None
+    )
+    # _banded_case builds with chunk=128; rebuild at the requested chunk
+    plan = build_band_plan(
+        np.asarray(snd), np.asarray(rcv), N, num_valid=E_valid, chunk=chunk
+    )
+    C, T, W, WR = plan.C, plan.T, plan.W, plan.WR
+    assert W % 128 == 0 and WR % 128 == 0 and T == chunk
+    w_s = np.asarray(plan.w_s)[0]
+    r_lo = np.asarray(plan.r_lo)[0]
+    snd_col = np.asarray(plan.snd_col).reshape(C * T)
+    rcv_col = np.asarray(plan.rcv_col).reshape(C * T)
+    m = np.asarray(plan.m_col).reshape(C * T)
+    # mask marks exactly the valid prefix
+    assert m.sum() == E_valid and (m[:E_valid] == 1).all()
+    for i in range(C * T):
+        c = i // T
+        if m[i]:
+            assert w_s[c] + snd_col[i] == int(np.asarray(snd)[i])
+            assert r_lo[c] + rcv_col[i] == int(np.asarray(rcv)[i])
+            assert snd_col[i] < W and rcv_col[i] < WR
+        else:
+            # sentinels select no window row
+            assert snd_col[i] == W and rcv_col[i] == WR
+    # every window stays inside the padded node-row count
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import plan_node_rows
+
+    Nr = plan_node_rows(plan, N)
+    assert int(w_s.max()) + W <= Nr and int(r_lo.max()) + WR <= Nr
+
+
 def test_band_plan_rejects_unsorted():
     rcv = np.array([3, 1, 2], np.int32)
     snd = np.array([0, 1, 2], np.int32)
