@@ -42,7 +42,7 @@ class Predictor:
         quantize: Optional[str] = None,
     ):
         from hyper_graph_nets_tpu.models.get_model import get_model
-        from hyper_graph_nets_tpu.rmp.remote_message_passing import get_rmp
+        from hyper_graph_nets_tpu.training.expansion import build_expansion
 
         self.config = config
         self.params = config.get("params", config)
@@ -52,7 +52,9 @@ class Predictor:
         if quantize is not None:
             self.model.params["model"]["inference_quant"] = quantize
         self.state = self.model.inference_state(state)
-        self.expansion = get_rmp(self.params)
+        # the expansion wrapper (reset cadence + static incidence), None
+        # when no remote message passing is configured
+        self.expansion = build_expansion(self.model, config)
         self._topo_cache: Dict[Tuple, Any] = {}
 
     # -- construction ------------------------------------------------------

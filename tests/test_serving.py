@@ -26,6 +26,7 @@ def _config(quant=None):
 
 def _train_and_checkpoint(tmp_path, cfg):
     from hyper_graph_nets_tpu.models.get_model import get_model
+    from hyper_graph_nets_tpu.rmp.remote_message_passing import get_rmp
     from hyper_graph_nets_tpu.training import checkpoint as ckpt
     from hyper_graph_nets_tpu.training.trainer import Trainer
 
@@ -36,9 +37,15 @@ def _train_and_checkpoint(tmp_path, cfg):
     topo = model.topology_from_trajectory(traj)
     trainer = Trainer(model, cfg)
     ts = trainer.init_train_state(jax.random.PRNGKey(0))
-    step = trainer.make_train_step(topo)
+    rmp = get_rmp(cfg)
     frames = {k: jnp.asarray(v[:4]) for k, v in traj.items() if k != "cells"}
-    ts, _ = step(ts, frames, jax.random.PRNGKey(1))
+    if rmp is None:
+        step = trainer.make_train_step(topo)
+        ts, _ = step(ts, frames, jax.random.PRNGKey(1))
+    else:
+        static = rmp.prepare(model, {k: v[0] for k, v in traj.items()}, topo)
+        step = trainer.make_train_step(topo, expansion=rmp)
+        ts, _ = step(ts, frames, jax.random.PRNGKey(1), static)
     path = ckpt.save(str(tmp_path), cfg, ts, epoch=1)
     return traj, ts, path
 
@@ -93,6 +100,28 @@ class TestPredictor:
         assert leaf0["w_q"].dtype == jnp.int8
         out = p.rollout(traj, num_steps=4)
         assert np.isfinite(out["mse"]).all()
+
+    def test_rmp_predictor_rollout(self, tmp_path):
+        """Predictor drives the HGN path: expansion prepared per
+        trajectory, hyper tier + remote edges in the compiled rollout."""
+        cfg = _config()
+        cfg["model"]["rmp"] = {
+            "num_clusters": 4, "hyper_noise": 0.0,
+            "hyper_node_features": True, "frequency": 1,
+            "clustering": "spectral", "connector": "hyper",
+            "fully_connect": False,
+            "intra_cluster_sampling": {
+                "enabled": False, "alpha": 0.1, "spotter_threshold": 0
+            },
+        }
+        traj, _, _ = _train_and_checkpoint(tmp_path, cfg)
+        p = Predictor.from_config(cfg, checkpoint=str(tmp_path))
+        assert p.expansion is not None
+        out = p.rollout(traj, num_steps=4)
+        assert np.isfinite(out["mse"]).all()
+        preds = p.one_step(traj)
+        assert preds.shape == traj["world_pos"].shape
+        assert np.isfinite(preds).all()
 
     def test_missing_checkpoint_raises(self, tmp_path):
         import pytest
