@@ -131,6 +131,27 @@ class TestBucketing:
         ]
         assert plans and all(p is not None for p in plans)
 
+    def test_mesh_cache_distinguishes_prefix_identical_meshes(self):
+        """Two meshes with identical shape and identical leading cells must
+        not collide in the simulator's topology cache (keys hash the FULL
+        cell array — core.mesh.mesh_fingerprint)."""
+        t1, _ = two_sizes()
+        t2 = {k: np.copy(v) for k, v in t1.items()}
+        # change connectivity far from the front: swap two late cells'
+        # orientation (valid triangles, same shape, same first 8 cells)
+        t2["cells"][:, -1] = t2["cells"][:, -1][:, [1, 0, 2]]
+        sim = MeshSimulator(PARAMS, out_dir="/tmp/bucketing_key_out")
+        k1 = sim._mesh_key("topo", t1)
+        k2 = sim._mesh_key("topo", t2)
+        assert k1 != k2
+        # both meshes get their own cache entry (no silent reuse)
+        sim._topology(t1)
+        sim._topology(t2)
+        assert len(sim._topo_cache) == 2
+        # same leading cells would have collided under the old
+        # (shape, cells[:8].sum(), n) fingerprint
+        assert np.array_equal(t1["cells"][0][:8], t2["cells"][0][:8])
+
     def test_rmp_excludes_padded_nodes(self):
         t1, t2 = two_sizes()
         n, e = trajectory_capacity([t1, t2])
