@@ -119,10 +119,12 @@ class TestSharding:
         out_ref = np.asarray(model.forward(tstate.model, graph_u))
         np.testing.assert_allclose(out_halo, out_ref, rtol=1e-5, atol=1e-6)
 
-    def test_halo_forward_fused_kernel(self):
+    @pytest.mark.parametrize("data,graph", [(1, 8), (2, 4)])
+    def test_halo_forward_fused_kernel(self, data, graph):
         """The fused Pallas MP-block kernel composes with the shard_map
         halo forward: per-shard band plans + psum/pmax/pmin partials
-        reproduce the single-device forward."""
+        reproduce the single-device forward (edge shards over 'graph';
+        a populated 'data' axis must replicate transparently)."""
         from hyper_graph_nets_tpu.parallel import halo
 
         params = {
@@ -139,7 +141,7 @@ class TestSharding:
         trainer = Trainer(model, params)
         tstate = trainer.init_train_state(jax.random.PRNGKey(0))
 
-        mesh = sharding.make_mesh(data=1, graph=8)
+        mesh = sharding.make_mesh(data=data, graph=graph)
         stopo = sharding.shard_topology(topo, mesh, band_plans=True)
         assert stopo.band_plan is not None
         frame = {k: jnp.asarray(v[0]) for k, v in traj.items() if k != "cells"}
