@@ -16,7 +16,18 @@ notes the reference publishes no throughput numbers and its hardware is
 unspecified).  The torch baseline is an independent re-implementation of the
 reference's hot path (gather -> LazyMLP-equivalent -> scatter pna, reference
 src/migration/graphnet.py:22-70) with identical tensor shapes and layer
-counts; measured once and cached in .bench_cache.json.
+counts; measured once and cached in BENCH_LAST_GOOD.json.
+
+Outage hardening (the TPU tunnel has transient multi-minute outages):
+  * On startup the committed last-good result (BENCH_LAST_GOOD.json) is
+    printed IMMEDIATELY with ``"stale": true`` — if everything after that
+    hangs or dies, the driver still parses a result line.
+  * A hard overall deadline (BENCH_DEADLINE_S, default 480s) bounds every
+    phase; the device probe gets at most 3 tries.
+  * The MGN headline is printed as soon as it is measured, before the HGN
+    phase starts; the final line repeats it with the HGN numbers attached.
+  * A fused-kernel compile failure falls back to chunk=256, then to
+    ``agg_vjp: gather``, rather than dying.
 """
 from __future__ import annotations
 
@@ -37,10 +48,29 @@ MP_STEPS = 15
 BATCH = 21
 GRID = 40  # 40x40 = 1600 nodes, flag_simple scale
 LATENT = 128
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+LAST_GOOD = os.path.join(_HERE, "BENCH_LAST_GOOD.json")
+_T0 = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "480"))
 
 
-def _jax_throughput() -> dict:
+def _remaining() -> float:
+    return _DEADLINE_S - (time.monotonic() - _T0)
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _load_last_good() -> dict | None:
+    try:
+        with open(LAST_GOOD) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _jax_throughput(model_overrides: dict | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +97,7 @@ def _jax_throughput() -> dict:
             "agg_vjp": "fused",
             "rmp": {"clustering": "none", "connector": "none"},
             "graph_balancer": {"algorithm": "none"},
+            **(model_overrides or {}),
         },
     }
     traj = add_targets(
@@ -104,6 +135,7 @@ def _jax_throughput() -> dict:
         "edges_per_s": BATCH * num_edges / dt,
         "device": str(jax.devices()[0]),
         "final_loss": float(loss),
+        "path": params["model"]["agg_vjp"],
     }
 
 
@@ -281,7 +313,8 @@ def _hgn_plate_throughput() -> dict:
         tstate, loss = step(tstate, frames, k, static)
     float(loss)
     dt = (time.perf_counter() - t0) / iters
-    # count mesh + world + remote edges consumed per step
+    # padded-capacity edge count: mesh + world-edge cap + pow2-padded
+    # remote edge rows — what the program actually processes per step
     num_edges = (
         len(topo.senders)
         + params["model"]["max_world_edges"]
@@ -289,61 +322,113 @@ def _hgn_plate_throughput() -> dict:
         + len(static.down_senders)
         + len(static.inter_senders)
     )
+    # VALID edge count (honest accounting): mesh edges are exact; world
+    # edges counted from the in-jit radius query's mask (mean over the
+    # batch); remote edges from the incidence masks (padding excluded)
+    frame_batch = {k: v for k, v in frames.items()}
+    raw = jax.jit(
+        lambda f: jax.vmap(
+            lambda g: jnp.sum(
+                model.frame_features(
+                    jnp.asarray(topo.senders), jnp.asarray(topo.receivers), g,
+                    obstacle_idx=jnp.asarray(topo.aux["obstacle_idx"]),
+                    obstacle_valid=jnp.asarray(topo.aux["obstacle_valid"]),
+                )["world_mask"]
+            )
+        )(f)
+    )(frame_batch)
+    world_valid = float(np.mean(np.asarray(raw)))
+    valid_edges = (
+        len(topo.senders)
+        + world_valid
+        + float(np.sum(static.up_mask))
+        + float(np.sum(static.down_mask))
+        + float(np.sum(static.inter_mask))
+    )
     return {
         "hgn_plate_ms_per_step": round(dt * 1e3, 1),
         "hgn_plate_edges_per_s": round(batch * num_edges / dt, 1),
+        "hgn_plate_valid_edges_per_s": round(batch * valid_edges / dt, 1),
+        "hgn_plate_valid_edges": round(valid_edges, 1),
+        "hgn_plate_padded_edges": num_edges,
     }
 
 
-def _wait_for_device(max_tries: int = 10, sleep_s: float = 60.0) -> None:
-    """Block until the TPU backend initializes (the tunnel has transient
-    outages).  Probes in a subprocess — a failed in-process init can stick
-    in the JAX backend cache — and gives the real run a clean process
-    state.  Gives up (and lets the real init raise) after ~10 minutes.
+def _wait_for_device(max_tries: int = 3, sleep_s: float = 20.0) -> bool:
+    """Probe (at most ``max_tries`` times, bounded by the overall deadline)
+    until the TPU backend initializes — the tunnel has transient outages.
+    Probes in a subprocess: a failed in-process init can stick in the JAX
+    backend cache.  Returns False instead of blocking the driver's budget.
     """
     import subprocess
     import sys
 
     probe = "import jax; jax.devices()"
     for i in range(max_tries):
+        budget = _remaining() - 60.0  # leave time to emit the stale line
+        if budget <= 5:
+            return False
         try:
             ok = (
                 subprocess.run(
                     [sys.executable, "-c", probe],
                     stdout=subprocess.DEVNULL,
                     stderr=subprocess.DEVNULL,
-                    timeout=180,
+                    timeout=min(120, budget),
                 ).returncode
                 == 0
             )
         except subprocess.TimeoutExpired:
             ok = False  # init hung — tunnel down
         if ok:
-            return
-        if i < max_tries - 1:
+            return True
+        if i < max_tries - 1 and _remaining() > sleep_s + 65:
             time.sleep(sleep_s)
+    return False
 
 
 def main():
-    _wait_for_device()
-    result = _jax_throughput()
-    try:
-        hgn = _hgn_plate_throughput()
-    except Exception:
-        hgn = {}
+    last_good = _load_last_good()
+    if last_good:
+        # outage insurance: a parseable result line exists from second zero
+        _emit({**last_good, "stale": True})
 
-    baseline = None
-    if os.path.exists(CACHE):
+    if not _wait_for_device():
+        _emit(
+            {
+                **(last_good or {"metric": "flag_simple MGN-15MP train edges/s/chip",
+                                 "value": None, "unit": "edges/s",
+                                 "vs_baseline": None}),
+                "stale": True,
+                "error": "TPU backend unavailable (tunnel outage); "
+                "stale last-good numbers above" if last_good
+                else "TPU backend unavailable and no last-good cache",
+            }
+        )
+        return
+
+    # MGN phase with compile-failure fallbacks: fused/512 -> fused/256 -> gather
+    result = None
+    for overrides in ({}, {"fused_chunk": 256}, {"agg_vjp": "gather"}):
         try:
-            with open(CACHE) as f:
-                baseline = json.load(f).get("torch_cpu_edges_per_s")
-        except Exception:
-            baseline = None
-    if not baseline:
+            result = _jax_throughput(overrides)
+            break
+        except Exception as e:  # noqa: BLE001 — report, try next tier
+            print(f"# MGN phase failed with {overrides}: {e!r}", flush=True)
+    if result is None:
+        _emit(
+            {
+                **(last_good or {}),
+                "stale": True,
+                "error": "all MGN fallback tiers failed",
+            }
+        )
+        return
+
+    baseline = (last_good or {}).get("baseline_torch_cpu_edges_per_s")
+    if not baseline and _remaining() > 120:
         try:
             baseline = _torch_reference_throughput(result["num_edges"])
-            with open(CACHE, "w") as f:
-                json.dump({"torch_cpu_edges_per_s": baseline}, f)
         except Exception:
             baseline = None
 
@@ -356,10 +441,28 @@ def main():
         "batch": BATCH,
         "num_edges": result["num_edges"],
         "device": result["device"],
+        "path": result["path"],
         "baseline_torch_cpu_edges_per_s": round(baseline, 1) if baseline else None,
-        **hgn,
+        "stale": False,
     }
-    print(json.dumps(out))
+    _emit(out)  # headline lands before the HGN phase can hang
+
+    hgn = {}
+    if _remaining() > 90:
+        try:
+            hgn = _hgn_plate_throughput()
+        except Exception as e:  # noqa: BLE001
+            print(f"# HGN phase failed: {e!r}", flush=True)
+    if hgn:
+        out = {**out, **hgn}
+        _emit(out)
+
+    try:
+        with open(LAST_GOOD, "w") as f:
+            json.dump({k: v for k, v in out.items() if k != "stale"}, f, indent=1)
+            f.write("\n")
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -72,6 +72,11 @@ def pad_topology(model, trajectory: Dict[str, np.ndarray], num_nodes: int,
     if e > num_edges:
         raise ValueError(f"trajectory has {e} edges > capacity {num_edges}")
     if e == num_edges:
+        # attach an explicit all-ones mask: every bucketed topology then has
+        # the same static structure (field None-ness), so exact-capacity
+        # meshes share the one compiled topology-as-argument train step
+        if topo.mask is None:
+            topo = topo._replace(mask=np.ones(e, np.float32))
         return topo
     pad = num_edges - e
     senders = np.concatenate([topo.senders, np.zeros(pad, np.int32)])
@@ -86,7 +91,10 @@ def pad_topology(model, trajectory: Dict[str, np.ndarray], num_nodes: int,
     if topo.band_plan is not None:
         from hyper_graph_nets_tpu.models.base import try_band_plan
 
-        band_plan = try_band_plan(senders, receivers, num_nodes, num_valid=e)
+        band_plan = try_band_plan(
+            senders, receivers, num_nodes, num_valid=e,
+            chunk=model.params["model"].get("fused_chunk"),
+        )
     return topo._replace(
         senders=senders, receivers=receivers, mask=mask,
         gather_idx=gidx, gather_valid=gvalid, band_plan=band_plan,

@@ -60,6 +60,41 @@ class Topology(NamedTuple):
     # the numbering is banded enough; see ops/pallas/fused_block.py)
     band_plan: Optional[object] = None
 
+    # fields whose content may vary between same-shaped (bucketed) meshes;
+    # passed as traced jit arguments on the shared-step training path
+    ARRAY_FIELDS = (
+        "senders", "receivers", "mask", "gather_idx", "gather_valid",
+        "snd_gather_idx", "snd_gather_valid", "aux", "band_plan",
+    )
+
+    def arrays(self) -> dict:
+        """The data-bearing fields as one pytree (for topology-as-argument
+        jit steps; ``num_nodes`` and None-ness stay static in the template)."""
+        return {
+            f: getattr(self, f)
+            for f in self.ARRAY_FIELDS
+            if getattr(self, f) is not None
+        }
+
+    def rebuild(self, arrays: dict) -> "Topology":
+        """Reattach (possibly traced) array fields onto this static template."""
+        return self._replace(**arrays)
+
+    def static_signature(self) -> tuple:
+        """Hashable compile signature: one jitted step serves every topology
+        with the same signature via the arrays()-argument path."""
+        import jax as _jax
+
+        arrays = self.arrays()
+        leaves, treedef = _jax.tree.flatten(arrays)
+        return (
+            self.num_nodes,
+            treedef,
+            tuple(
+                (tuple(x.shape), str(getattr(x, "dtype", ""))) for x in leaves
+            ),
+        )
+
     def edge_mask(self):
         return None if self.mask is None else jnp.asarray(self.mask)
 
@@ -151,6 +186,20 @@ class SystemModel:
         self.balance_frequency = bal_cfg.get("frequency", 1)
         self.rmp_config = rmp_cfg
         self.balancer_config = bal_cfg
+        if (
+            model.get("agg_vjp") == "fused"
+            and self.aggregation != "pna"
+        ):
+            import warnings
+
+            warnings.warn(
+                "model.agg_vjp='fused' requires aggregation='pna'; the fused "
+                f"Pallas kernel will NOT run with aggregation="
+                f"'{self.aggregation}' and every edge set silently falls "
+                "back to the unfused path (~1.5x slower). Set "
+                "aggregation: pna or drop agg_vjp: fused.",
+                stacklevel=2,
+            )
         # compiled-rollout cache: evaluation loops reuse jitted scan bodies
         # across epochs instead of retracing per call
         self._fn_cache: Dict[Any, Any] = {}
@@ -290,7 +339,13 @@ class SystemModel:
             snd_gather_idx=sidx,
             snd_gather_valid=svalid,
             band_plan=(
-                try_band_plan(edges.senders, edges.receivers, num_nodes)
+                try_band_plan(
+                    edges.senders, edges.receivers, num_nodes,
+                    # model.fused_chunk overrides the env-derived default
+                    # (512 needs the raised scoped-VMEM limit; 256 always
+                    # compiles) — bench.py's compile-failure fallback knob
+                    chunk=self.params["model"].get("fused_chunk"),
+                )
                 if self.params["model"].get("agg_vjp") == "fused"
                 else None
             ),

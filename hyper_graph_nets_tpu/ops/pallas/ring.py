@@ -58,8 +58,25 @@ def ring_all_reduce_segments(
         my_id = jax.lax.axis_index(axis_name)
         n = jax.lax.axis_size(axis_name)
         right = jax.lax.rem(my_id + 1, n)
+        left = jax.lax.rem(my_id + n - 1, n)
         out_ref[:] = in_ref[:]
         comm[0] = in_ref[:]
+
+        # neighbor barrier before any RDMA: without it a device can DMA into
+        # its right neighbor's comm scratch before that neighbor's kernel has
+        # even launched (its VMEM may still belong to a previous computation).
+        # Standard collective-Pallas pattern: signal both neighbors on the
+        # global barrier semaphore, wait for both their signals.
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=left,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_wait(barrier, 2)
 
         def body(step, _):
             send_slot = jax.lax.rem(step, 2)

@@ -41,9 +41,14 @@ class Predictor:
         state: Optional[Any] = None,
         quantize: Optional[str] = None,
     ):
+        import copy
+
         from hyper_graph_nets_tpu.models.get_model import get_model
         from hyper_graph_nets_tpu.training.expansion import build_expansion
 
+        # own the config: the quantize override below (and any model-side
+        # defaulting) must not mutate the caller's dict
+        config = copy.deepcopy(config)
         self.config = config
         self.params = config.get("params", config)
         self.model = get_model(config)
@@ -143,10 +148,20 @@ class Predictor:
         jit; returns the predicted next value of the model's field
         (positions for flag/plate, velocities for cylinder) per frame.
         """
+        from hyper_graph_nets_tpu.core.mesh import mesh_fingerprint
+
         topo = self._topology(trajectory)
         expansion = self._prepare_expansion(trajectory, topo)
         static = expansion.static if expansion is not None else None
-        key = (topo.senders.shape, topo.num_nodes, "serve_one_step")
+        # topo (and the expansion wrapper) are baked into the closure below,
+        # so the cache key must identify the mesh by CONTENT: two meshes with
+        # equal node/edge counts (same-resolution grids, bucketed data) must
+        # not reuse each other's compiled topology
+        mesh_key = mesh_fingerprint(
+            trajectory["cells"][0], trajectory["node_type"].shape[1]
+        )
+        exp_key = expansion.fingerprint if expansion is not None else None
+        key = ("serve_one_step", mesh_key, exp_key)
         model = self.model
 
         def build():

@@ -98,19 +98,28 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def make_train_step(self, topo: Topology, expansion=None) -> Callable:
+    def make_train_step(
+        self, topo: Topology, expansion=None, topo_arg: bool = False
+    ) -> Callable:
         """Build a jitted train step for a given static topology.
 
         With an ``expansion`` (remote message passing), the step takes an
         extra ``rmp_static`` argument — the array pytree from
         ``expansion.prepare(...)`` — so reclustering swaps data without
         recompiling (shapes are padding-stabilized).
+
+        With ``topo_arg=True`` the step takes a trailing ``topo_arrays``
+        argument (``Topology.arrays()``): the topology's data rides through
+        jit as traced inputs while ``topo`` only supplies the static template
+        (num_nodes, field None-ness).  One compiled step then serves every
+        same-signature mesh — required for cross-trajectory bucketing, where
+        padded meshes share shapes but differ in connectivity.
         """
         model = self.model
 
-        def loss_fn(params, normalizers, frames, rmp_static, ekey):
+        def loss_fn(params, normalizers, frames, rmp_static, ekey, topo_t):
             mstate = ModelState(params=params, normalizers=normalizers)
-            graph, aux, mstate = model.make_graph(mstate, topo, frames, True)
+            graph, aux, mstate = model.make_graph(mstate, topo_t, frames, True)
             if expansion is not None:
                 graph, mstate = expansion.expand(
                     mstate, graph, frames, model,
@@ -123,7 +132,7 @@ class Trainer:
             loss = jnp.sum(se) / (jnp.sum(mask) * out.shape[-1])
             return loss, mstate.normalizers
 
-        def _step(tstate: TrainState, frames, key, rmp_static):
+        def _step(tstate: TrainState, frames, key, rmp_static, topo_t):
             key, nkey, ekey = jax.random.split(key, 3)
             if model.noise_scale is not None:
                 frames = add_noise(
@@ -131,7 +140,7 @@ class Trainer:
                 )
             (loss, normalizers), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 tstate.model.params, tstate.model.normalizers, frames, rmp_static,
-                ekey,
+                ekey, topo_t,
             )
             updates, opt_state = self.optimizer.update(
                 grads, tstate.opt_state, tstate.model.params
@@ -144,30 +153,51 @@ class Trainer:
             )
             return new_state, loss
 
-        if expansion is None:
+        if topo_arg:
+            if expansion is None:
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def train_step(tstate, frames, key, topo_arrays):
+                    return _step(
+                        tstate, frames, key, None, topo.rebuild(topo_arrays)
+                    )
+
+            else:
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def train_step(tstate, frames, key, rmp_static, topo_arrays):
+                    return _step(
+                        tstate, frames, key, rmp_static,
+                        topo.rebuild(topo_arrays),
+                    )
+
+        elif expansion is None:
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(tstate, frames, key):
-                return _step(tstate, frames, key, None)
+                return _step(tstate, frames, key, None, topo)
 
         else:
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(tstate, frames, key, rmp_static):
-                return _step(tstate, frames, key, rmp_static)
+                return _step(tstate, frames, key, rmp_static, topo)
 
         return train_step
 
-    def make_validation_step(self, topo: Topology, expansion=None) -> Callable:
+    def make_validation_step(
+        self, topo: Topology, expansion=None, topo_arg: bool = False
+    ) -> Callable:
         """One-step evaluation: (normalized loss, de-normalized error).
 
         Parity with reference validation_step (src/model/flag.py:157-168):
-        no noise, no normalizer accumulation.
+        no noise, no normalizer accumulation.  ``topo_arg`` as in
+        :meth:`make_train_step`.
         """
         model = self.model
 
-        def _val(mstate: ModelState, frames, rmp_static):
-            graph, aux, _ = model.make_graph(mstate, topo, frames, False)
+        def _val(mstate: ModelState, frames, rmp_static, topo_t):
+            graph, aux, _ = model.make_graph(mstate, topo_t, frames, False)
             if expansion is not None:
                 graph, _ = expansion.expand(
                     mstate, graph, frames, model,
@@ -189,17 +219,32 @@ class Trainer:
             )
             return loss, pos_error
 
-        if expansion is None:
+        if topo_arg:
+            if expansion is None:
+
+                @jax.jit
+                def val_step(mstate, frames, topo_arrays):
+                    return _val(mstate, frames, None, topo.rebuild(topo_arrays))
+
+            else:
+
+                @jax.jit
+                def val_step(mstate, frames, rmp_static, topo_arrays):
+                    return _val(
+                        mstate, frames, rmp_static, topo.rebuild(topo_arrays)
+                    )
+
+        elif expansion is None:
 
             @jax.jit
             def val_step(mstate, frames):
-                return _val(mstate, frames, None)
+                return _val(mstate, frames, None, topo)
 
         else:
 
             @jax.jit
             def val_step(mstate, frames, rmp_static):
-                return _val(mstate, frames, rmp_static)
+                return _val(mstate, frames, rmp_static, topo)
 
         return val_step
 

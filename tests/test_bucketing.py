@@ -131,6 +131,43 @@ class TestBucketing:
         ]
         assert plans and all(p is not None for p in plans)
 
+    def test_bucketed_step_uses_each_trajectorys_connectivity(self):
+        """The shared compiled step must consume each trajectory's OWN
+        topology (passed as a traced argument), not the first trajectory's
+        baked constants: the simulator's loss on trajectory 2 must match a
+        dedicated step compiled for trajectory 2's mesh."""
+        t1, t2 = two_sizes()
+        n, e = trajectory_capacity([t1, t2])
+        sim = MeshSimulator(PARAMS, out_dir="/tmp/bucketing_conn_out")
+        ts0 = sim.initialize()
+        sim.set_capacity(n, e)
+
+        # drive the shared-step path on t1 first so its compile happens
+        # against t1's arrays, then evaluate t2 through the SAME cache entry
+        topo1 = sim._topology(t1)
+        topo2 = sim._topology(t2)
+        step_t1 = sim._train_step_fn(topo1, t1)
+        step_t2 = sim._train_step_fn(topo2, t2)
+        assert len(sim._step_cache) == 1  # one compiled program for both
+
+        key = jax.random.PRNGKey(7)
+        frames2 = {
+            k: jnp.asarray(pad_trajectory(t2, n)[k][:4])
+            for k in t2 if k != "cells"
+        }
+        # fresh copies per call: train steps donate their tstate buffers
+        fresh = lambda: jax.tree.map(jnp.array, ts0)
+        # oracle: a dedicated baked-topology step for t2's mesh
+        oracle = sim.trainer.make_train_step(topo2)
+        _, loss_oracle = oracle(fresh(), frames2, key)
+        _, loss_shared = step_t2(fresh(), frames2, key)
+        np.testing.assert_allclose(
+            float(loss_shared), float(loss_oracle), rtol=1e-5
+        )
+        # and it must NOT equal t1-connectivity output (different mesh)
+        _, loss_wrong = step_t1(fresh(), frames2, key)
+        assert abs(float(loss_wrong) - float(loss_oracle)) > 1e-6
+
     def test_mesh_cache_distinguishes_prefix_identical_meshes(self):
         """Two meshes with identical shape and identical leading cells must
         not collide in the simulator's topology cache (keys hash the FULL

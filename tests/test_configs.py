@@ -38,3 +38,32 @@ def test_all_configs_discovered():
     assert {"flag", "cylinder", "plate", "hyper", "plateCluster"} <= set(
         CONFIGS
     ), CONFIGS
+
+
+def test_fused_requires_pna_warning():
+    """agg_vjp='fused' with non-pna aggregation silently falls back to the
+    unfused path (~1.5x slower); the model must warn at build time."""
+    import warnings
+
+    import pytest
+
+    params = {
+        "task": {"dataset": "flag_minimal"},
+        "model": {
+            "field": "world_pos", "history": True, "size": 3,
+            "noise": 0.003, "gamma": 0.9, "aggregation": "sum",
+            "learning_rate": 1e-3, "message_passing_steps": 2,
+            "agg_vjp": "fused",
+            "rmp": {"clustering": "none", "connector": "none"},
+            "graph_balancer": {"algorithm": "none"},
+        },
+    }
+    from hyper_graph_nets_tpu.models.flag import FlagModel
+
+    with pytest.warns(UserWarning, match="aggregation='pna'"):
+        FlagModel(params)
+    # pna + fused is the supported combination: no warning
+    params["model"]["aggregation"] = "pna"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        FlagModel(params)

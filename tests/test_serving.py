@@ -128,3 +128,36 @@ class TestPredictor:
 
         with pytest.raises(FileNotFoundError):
             Predictor.from_config(_config(), checkpoint=str(tmp_path / "empty"))
+
+    def test_quantize_does_not_mutate_caller_config(self):
+        cfg = _config()
+        Predictor(cfg, quantize="int8")
+        assert "inference_quant" not in cfg["model"]
+
+    def test_one_step_distinguishes_equal_shape_meshes(self):
+        """Two meshes with identical node/edge counts but different
+        connectivity must not share a compiled one_step program (the jit
+        cache is keyed on mesh content, not shapes).
+
+        Node-permutation equivariance is the oracle: relabeling the mesh
+        nodes must permute the predictions.  With a shape-keyed cache the
+        second call silently reuses the first mesh's baked topology and the
+        equivariance check fails.
+        """
+        cfg = _config()
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=6, nx=6, ny=6),
+            "world_pos", True,
+        )
+        n = traj["node_type"].shape[1]
+        rng = np.random.default_rng(0)
+        q = rng.permutation(n)          # new node j <- old node q[j]
+        inv = np.argsort(q)
+        traj2 = {
+            k: (inv[v] if k == "cells" else v[:, q])
+            for k, v in traj.items()
+        }
+        p = Predictor(cfg)
+        pred = p.one_step(traj)
+        pred2 = p.one_step(traj2)
+        np.testing.assert_allclose(pred2, pred[:, q], rtol=2e-4, atol=2e-5)
