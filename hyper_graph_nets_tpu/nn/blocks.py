@@ -79,6 +79,14 @@ class GNNConfig:
     # set under shard_map edge partitioning: aggregations combine local
     # partials with psum/pmax/pmin over this mesh axis (parallel/halo.py)
     axis_name: Optional[str] = None
+    # set by the GSPMD train step (parallel/sharding.py) when edges shard
+    # over a mesh axis AND the topology carries a stacked per-shard band
+    # plan: fused edge blocks run as an internal shard_map region with a
+    # custom VJP (ops/pallas/fused_block.fused_edge_block_spmd) — the
+    # trainable multi-chip fused path.  (A pallas_call is opaque to the
+    # GSPMD partitioner, so the kernel cannot run under pjit directly.)
+    spmd_mesh: Optional[object] = None
+    spmd_axis: str = "graph"
     # with axis_name set: combine partials via the Pallas RDMA ring
     # (ops/pallas/ring.py) instead of XLA collectives
     halo_ring: bool = False
@@ -299,6 +307,7 @@ def _fused_update_and_agg(
         fused_edge_block,
         fused_edge_block_collective,
         fused_edge_block_hybrid,
+        fused_edge_block_spmd,
     )
 
     L = all_nodes.shape[-1]
@@ -318,7 +327,15 @@ def _fused_update_and_agg(
         "lns": eparams["ln"]["scale"],
         "lnb": eparams["ln"]["bias"],
     }
-    if cfg.axis_name is not None:
+    if cfg.spmd_mesh is not None:
+        # GSPMD train step: trainable shard_map region with custom VJP
+        # (both Pallas kernels run per edge shard; collectives carry the
+        # pna partials forward and the node/weight cotangents backward)
+        e2, agg = fused_edge_block_spmd(
+            feats, sp, rp, weights, es.band_plan, num_total,
+            cfg.spmd_mesh, cfg.spmd_axis,
+        )
+    elif cfg.axis_name is not None:
         # shard_map edge partitioning (forward-only halo path): local
         # kernel partials + psum/pmax/pmin over the mesh axis
         e2, agg = fused_edge_block_collective(

@@ -1206,3 +1206,187 @@ def fused_edge_block_collective(
         axis=-1,
     )
     return e2[0, :E], agg[:num_nodes]
+
+
+# ---------------------------------------------------------------------------
+# GSPMD-trainable edge-sharded region (shard_map inside pjit, custom VJP)
+# ---------------------------------------------------------------------------
+#
+# The custom_vjp sits at the GLOBAL-array level and contains the shard_map:
+# the fwd rule runs the forward kernel per edge shard (unfinalized partials
+# -> psum/pmax/pmin over the 'graph' axis -> finalize), the bwd rule runs
+# the remat backward kernel per shard against the saved GLOBAL aggregate and
+# explicitly psums the node-part / weight cotangents.  Because the custom
+# derivative is defined on global arrays, the surrounding GSPMD program
+# (train step under jit with sharding constraints) differentiates through
+# it with exact semantics — this is what lets band plans survive pjit and
+# puts the fused kernel on the multi-chip TRAINING path (SURVEY.md §7.8).
+
+
+def _spmd_prep(e, sp, rp, plan, num_nodes):
+    """Rank-normalize ([.., E, L]) and pad to the local plan's rows."""
+    squeeze = e.ndim == 2
+    e3 = e[None] if squeeze else e
+    sp3 = sp[None] if squeeze else sp
+    rp3 = rp[None] if squeeze else rp
+    e_pad, sp_pad, rp_pad = _pad_to_plan(e3, sp3, rp3, plan, num_nodes)
+    return squeeze, e3.shape[1], e_pad, sp_pad, rp_pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _spmd_vjp(e, sp, rp, weights, plan, num_nodes, mesh, axis_name, interpret):
+    return _spmd_fwd(
+        e, sp, rp, weights, plan, num_nodes, mesh, axis_name, interpret
+    )[0]
+
+
+def _spmd_fwd(e, sp, rp, weights, plan, num_nodes, mesh, axis_name, interpret):
+    from jax.sharding import PartitionSpec as P
+
+    L = e.shape[-1]
+
+    def body(e_l, sp_l, rp_l, w, plan_l):
+        squeeze, E_loc, e_pad, sp_pad, rp_pad = _spmd_prep(
+            e_l, sp_l, rp_l, plan_l, num_nodes
+        )
+        e2, raw = _fwd_call(
+            e_pad, sp_pad, rp_pad, w, plan_l, interpret, finalize=False
+        )
+        s = jax.lax.psum(raw[..., :L], axis_name)
+        n = jax.lax.psum(raw[..., L : 2 * L], axis_name)
+        mx = jax.lax.pmax(raw[..., 2 * L : 3 * L], axis_name)
+        mn = jax.lax.pmin(raw[..., 3 * L :], axis_name)
+        agg = jnp.concatenate(
+            [
+                s,
+                s / jnp.maximum(n, 1.0),
+                jnp.where(mx <= -_BIG / 2, 0.0, mx),
+                jnp.where(mn >= _BIG / 2, 0.0, mn),
+            ],
+            axis=-1,
+        )
+        e2 = e2[:, :E_loc]
+        agg = agg[:, :num_nodes]
+        if squeeze:
+            e2, agg = e2[0], agg[0]
+        return e2, agg
+
+    shard = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name),  # edge shard
+            P(),  # node parts replicated
+            P(),
+            P(),  # weights replicated
+            band_plan_specs(P),  # stacked plan -> local view
+        ),
+        out_specs=(P(axis_name), P()),
+        check_vma=False,
+    )
+    e2, agg = shard(e, sp, rp, weights, plan)
+    return (e2, agg), (e, sp, rp, weights, plan, agg)
+
+
+def _spmd_bwd(num_nodes, mesh, axis_name, interpret, res, g):
+    from jax.sharding import PartitionSpec as P
+
+    e, sp, rp, weights, plan, agg = res
+    de2_bar, dagg_bar = g
+
+    def body(e_l, sp_l, rp_l, w, plan_l, agg_l, de2_l, dagg_l):
+        squeeze, E_loc, e_pad, sp_pad, rp_pad = _spmd_prep(
+            e_l, sp_l, rp_l, plan_l, num_nodes
+        )
+        Nr = sp_pad.shape[1]
+        pad_n = lambda a: jnp.pad(
+            a[None] if squeeze else a,
+            ((0, 0), (0, Nr - num_nodes), (0, 0)),
+        )
+        de2_3 = de2_l[None] if squeeze else de2_l
+        de2_pad = jnp.pad(
+            de2_3, ((0, 0), (0, e_pad.shape[1] - E_loc), (0, 0))
+        )
+        # the saved aggregate's extrema are GLOBAL; the kernel recomputes
+        # this shard's e2 exactly (same kernel, same inputs), so an edge
+        # matches the global max/min iff it produced it — tie_tol 0
+        de, dsp, drp, dw = _bwd_core(
+            e_pad, sp_pad, rp_pad, w, pad_n(agg_l), plan_l,
+            de2_pad, pad_n(dagg_l), interpret,
+        )
+        de = de[:, :E_loc]
+        dsp = dsp[:, :num_nodes]
+        drp = drp[:, :num_nodes]
+        if squeeze:
+            de, dsp, drp = de[0], dsp[0], drp[0]
+        # node-part / weight cotangents: every shard contributes through
+        # its own edges — sum the partials over the edge-shard axis
+        dsp = jax.lax.psum(dsp, axis_name)
+        drp = jax.lax.psum(drp, axis_name)
+        dw = jax.lax.psum(dw, axis_name)
+        return de, dsp, drp, dw
+
+    shard = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name), P(), P(), P(), band_plan_specs(P),
+            P(),  # saved global aggregate (replicated)
+            P(axis_name),  # de2 cotangent (edge-sharded)
+            P(),  # dagg cotangent (one global array from the GSPMD consumer)
+        ),
+        out_specs=(P(axis_name), P(), P(), P()),
+        check_vma=False,
+    )
+    de, dsp, drp, dw = shard(e, sp, rp, weights, plan, agg, de2_bar, dagg_bar)
+    return (
+        de.astype(e.dtype),
+        dsp.astype(sp.dtype),
+        drp.astype(rp.dtype),
+        dw,
+        _zero_plan_cotangent(plan),
+    )
+
+
+def _spmd_fwd_rule(e, sp, rp, weights, plan, num_nodes, mesh, axis_name, interpret):
+    out, res = _spmd_fwd(
+        e, sp, rp, weights, plan, num_nodes, mesh, axis_name, interpret
+    )
+    return out, res
+
+
+_spmd_vjp.defvjp(_spmd_fwd_rule, _spmd_bwd)
+
+
+def fused_edge_block_spmd(
+    e: Array,  # [E_global, L] GLOBAL edge features (receiver-sorted, padded)
+    sp: Array,  # [N, L] sender node parts (replicated layout)
+    rp: Array,
+    weights: dict,
+    plan: BandPlan,  # STACKED sharded plan (build_sharded_band_plans)
+    num_nodes: int,
+    mesh,
+    axis_name: str = "graph",
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Trainable fused edge block for edge-sharded GSPMD programs.
+
+    Same contract as :func:`fused_edge_block` but callable INSIDE a pjit
+    train step whose edges shard over ``mesh``'s ``axis_name``: forward and
+    backward both run the Pallas kernels per shard under an internal
+    shard_map, with psum/pmax/pmin carrying the pna partials and psums
+    carrying the node/weight cotangents.  The edge count must be divisible
+    by the axis size and the plan must be the stacked per-shard plan.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g = mesh.shape[axis_name]
+    if plan.w_s.shape[0] % g:
+        raise ValueError(
+            f"stacked plan has {plan.w_s.shape[0]} chunk rows, not divisible "
+            f"by axis {axis_name!r} size {g}"
+        )
+    return _spmd_vjp(
+        e, sp, rp, _edge_weights(weights), plan, num_nodes, mesh, axis_name,
+        interpret,
+    )

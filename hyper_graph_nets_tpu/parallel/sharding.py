@@ -59,19 +59,20 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, pad_value=0) -> np.ndarray:
 
 
 def shard_topology(
-    topo: Topology, mesh: Mesh, band_plans: bool = False
+    topo: Topology, mesh: Mesh, band_plans: Optional[bool] = None
 ) -> Topology:
     """Pad edges to a multiple of the graph axis and device_put sharded.
 
     Padded edges use ``receiver = num_nodes - 1`` (preserving the
     receiver-sorted invariant) with mask 0.
 
-    ``band_plans=True`` builds a stacked per-shard band plan (for the
-    shard_map halo forward's fused kernel —
-    ops.pallas.fused_block.build_sharded_band_plans).  Keep it off for
-    the GSPMD training step: a pallas_call is opaque to the GSPMD
-    partitioner, so the fused path must not trigger inside pjit with
-    sharded edges.
+    When the input topology carries a band plan (``agg_vjp: fused``), a
+    stacked per-shard plan is built by default
+    (ops.pallas.fused_block.build_sharded_band_plans): the GSPMD train step
+    and the shard_map halo forward both consume it — training runs the
+    kernels inside a custom-VJP shard_map region
+    (fused_edge_block_spmd), which is how the plan survives pjit.
+    Pass ``band_plans=False`` to force the unfused sharded path.
     """
     g = mesh.shape["graph"]
     n_valid = len(topo.senders)
@@ -79,6 +80,8 @@ def shard_topology(
     receivers = pad_to_multiple(topo.receivers, g, pad_value=topo.num_nodes - 1)
     mask = np.zeros(len(senders), np.float32)
     mask[:n_valid] = 1.0
+    if band_plans is None:
+        band_plans = topo.band_plan is not None
     band_plan = None
     if band_plans and topo.band_plan is not None:
         from hyper_graph_nets_tpu.ops.pallas.fused_block import (
@@ -122,11 +125,22 @@ def constrain_graph(graph: Graph, mesh: Mesh) -> Graph:
         else:
             # 1-D masks shard over 'graph'; batched 2-D over ('data','graph')
             mask = c(es.mask, P(*("data", "graph")[-es.mask.ndim :]))
+        band_plan = es.band_plan
+        if band_plan is not None:
+            # stacked per-shard plan: leading (chunk) axis over 'graph' so
+            # the in-step shard_map region finds each device's local view
+            # already resident
+            from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+                band_plan_specs,
+            )
+
+            band_plan = jax.tree.map(c, band_plan, band_plan_specs(P))
         new_sets[name] = EdgeSet(
             features=c(es.features, edge_feat_spec),
             senders=c(es.senders, idx_spec),
             receivers=c(es.receivers, idx_spec),
             mask=mask,
+            band_plan=band_plan,
         )
     hyper = graph.hyper_features
     if hyper is not None:
@@ -152,6 +166,25 @@ def shard_frames(frames: Dict[str, Array], mesh: Mesh) -> Dict[str, Array]:
     return out
 
 
+def spmd_gnn_config(model: SystemModel, topo: Topology, mesh: Mesh):
+    """The model's GNN config, with the trainable fused shard_map region
+    enabled when the sharded topology carries a stacked band plan."""
+    import dataclasses
+
+    cfg = model.gnn_config
+    if cfg.agg_vjp == "fused" and topo.band_plan is not None:
+        cfg = dataclasses.replace(cfg, spmd_mesh=mesh, spmd_axis="graph")
+    return cfg
+
+
+def _batched_forward_cfg(cfg, params, graph: Graph) -> Array:
+    from hyper_graph_nets_tpu.core.graph import graph_batch_axes
+    from hyper_graph_nets_tpu.nn.meshgraphnet import network_apply
+
+    axes = graph_batch_axes(graph)
+    return jax.vmap(lambda g: network_apply(params, g, cfg), in_axes=(axes,))(graph)
+
+
 def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh, expansion=None):
     """A fully sharded train step: DP over 'data', edge-parallel over 'graph'.
 
@@ -159,6 +192,11 @@ def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh, expansion
     SPMD inserts the ICI collectives (grad all-reduce over 'data' x 'graph',
     aggregate partial-sum reduction over 'graph').  ``topo`` should come from
     :func:`shard_topology`.
+
+    With ``agg_vjp: fused`` and a stacked band plan on the topology, the
+    mesh-edge blocks run the fused Pallas kernels inside a custom-VJP
+    shard_map region (fused_edge_block_spmd) — multi-chip TRAINING on the
+    fused path (SURVEY.md §7.8); everything else stays GSPMD.
 
     With an ``expansion`` (remote message passing / balancer, the flagship
     HyperGraphNets path), the step takes an extra ``rmp_static`` pytree from
@@ -168,6 +206,7 @@ def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh, expansion
     features replicated over 'graph', hyper edge sets partitioned over it.
     """
     model = trainer.model
+    cfg = spmd_gnn_config(model, topo, mesh)
 
     def loss_fn(params, normalizers, frames, rmp_static, ekey):
         mstate = ModelState(params=params, normalizers=normalizers)
@@ -179,9 +218,8 @@ def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh, expansion
             )
         graph = constrain_graph(graph, mesh)
         target, mstate = model.get_target(mstate, frames, is_training=True)
-        from hyper_graph_nets_tpu.training.trainer import batched_forward
 
-        out = batched_forward(model, mstate.params, graph)
+        out = _batched_forward_cfg(cfg, mstate.params, graph)
         mask = model.loss_mask(frames["node_type"]).astype(out.dtype)[..., None]
         loss = jnp.sum(jnp.square(target - out) * mask) / (
             jnp.sum(mask) * out.shape[-1]
@@ -231,6 +269,7 @@ def make_spmd_train_step(trainer: Trainer, topo: Topology, mesh: Mesh, expansion
 
 def make_sharded_forward(model: SystemModel, topo: Topology, mesh: Mesh, expansion=None):
     """Edge-parallel inference forward (for scaling benchmarks and parity tests)."""
+    cfg = spmd_gnn_config(model, topo, mesh)
 
     def _fwd(mstate: ModelState, frames: Dict[str, Array], rmp_static) -> Array:
         graph, _, _ = model.make_graph(mstate, topo, frames, False)
@@ -239,9 +278,7 @@ def make_sharded_forward(model: SystemModel, topo: Topology, mesh: Mesh, expansi
                 mstate, graph, frames, model, is_training=False, static=rmp_static
             )
         graph = constrain_graph(graph, mesh)
-        from hyper_graph_nets_tpu.training.trainer import batched_forward
-
-        return batched_forward(model, mstate.params, graph)
+        return _batched_forward_cfg(cfg, mstate.params, graph)
 
     if expansion is None:
 

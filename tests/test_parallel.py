@@ -158,6 +158,50 @@ class TestSharding:
         out_ref = np.asarray(model.forward(tstate.model, graph_u))
         np.testing.assert_allclose(out_halo, out_ref, rtol=1e-4, atol=2e-5)
 
+    @pytest.mark.parametrize("data,graph", [(2, 4), (1, 8)])
+    def test_spmd_train_step_fused_matches_single_device(self, data, graph):
+        """The fused Pallas MP-block kernel on the sharded TRAINING path
+        (SURVEY.md §7.8): with agg_vjp=fused and a stacked band plan, the
+        GSPMD train step runs both kernels inside a custom-VJP shard_map
+        region and must reproduce the single-device fused step's loss and
+        post-step parameters."""
+        params = {
+            **PARAMS,
+            "model": {**PARAMS["model"], "agg_vjp": "fused"},
+        }
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=12, nx=6, ny=6),
+            "world_pos", True,
+        )
+        model = FlagModel(params)
+        topo = model.topology_from_trajectory(traj)
+        assert topo.band_plan is not None
+        trainer = Trainer(model, params)
+        tstate = trainer.init_train_state(jax.random.PRNGKey(0))
+
+        mesh = sharding.make_mesh(data=data, graph=graph)
+        st = sharding.shard_topology(topo, mesh)
+        assert st.band_plan is not None  # stacked plan built by default
+        frames = {k: jnp.asarray(v[:4]) for k, v in traj.items()}
+        key = jax.random.PRNGKey(7)
+
+        replicated = sharding.replicate(jax.tree.map(jnp.copy, tstate), mesh)
+        step_spmd = sharding.make_spmd_train_step(trainer, st, mesh)
+        ts2, loss2 = step_spmd(
+            replicated, sharding.shard_frames(frames, mesh), key
+        )
+
+        step_single = trainer.make_train_step(topo)
+        ts1, loss1 = step_single(tstate, frames, key)
+        assert abs(float(loss1) - float(loss2)) < 1e-4
+        for a, b in zip(
+            jax.tree.leaves(ts1.model.params), jax.tree.leaves(ts2.model.params)
+        ):
+            # same tolerance rationale as the unfused spmd test above
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-3
+            )
+
     def test_data_only_mesh(self, setup):
         traj, model, topo, trainer, tstate = setup
         mesh = sharding.make_mesh(data=8, graph=1)
