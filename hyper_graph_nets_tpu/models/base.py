@@ -302,6 +302,7 @@ class SystemModel:
             remat=self.params["model"].get("remat", False),
             agg_vjp=self.params["model"].get("agg_vjp", "xla"),
             fused_fwd=self.params["model"].get("fused_fwd", "kernel"),
+            fused_pb=self.params["model"].get("fused_pb", 1),
         )
 
     def init_state(self, key: Array) -> ModelState:

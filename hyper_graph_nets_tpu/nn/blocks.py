@@ -108,6 +108,10 @@ class GNNConfig:
     # Pallas fwd kernel) or 'xla' (XLA forward + Pallas backward; see
     # _fused_update_and_agg)
     fused_fwd: str = "kernel"
+    # batch elements per fused-kernel grid step (grid amortization,
+    # config model.fused_pb): >1 shrinks the serialized grid at ~pb x the
+    # per-step VMEM footprint; pair with fused_chunk/the scoped-VMEM limit
+    fused_pb: int = 1
     # edge sets whose receivers are non-decreasing with masked edges at the
     # tail (core.mesh.cells_to_edges lexsorts by receiver) — eligible for
     # the 'sorted' Pallas aggregation path
@@ -305,6 +309,7 @@ def _fused_update_and_agg(
     from hyper_graph_nets_tpu.nn.mlp import _dense
     from hyper_graph_nets_tpu.ops.pallas.fused_block import (
         fused_edge_block,
+        fused_edge_block_batchable,
         fused_edge_block_collective,
         fused_edge_block_hybrid,
         fused_edge_block_spmd,
@@ -355,6 +360,12 @@ def _fused_update_and_agg(
         e2, agg = fused_edge_block_hybrid(
             feats, sp, rp, weights, es.band_plan, num_total,
             es.senders, es.receivers, es.gather_idx, es.gather_valid,
+        )
+    elif cfg.fused_pb > 1:
+        # grid amortization: the custom-vmap wrapper hands the REAL frame
+        # batch to one kernel launch (pb elements per grid step)
+        e2, agg = fused_edge_block_batchable(
+            feats, sp, rp, weights, es.band_plan, num_total, pb=cfg.fused_pb
         )
     else:
         e2, agg = fused_edge_block(

@@ -289,9 +289,9 @@ def plan_node_rows(plan: BandPlan, num_nodes: int) -> int:
 def _fwd_kernel(
     ws_ref,  # SMEM (1, C) int32
     rlo_ref,  # SMEM (1, C) int32
-    e_ref,  # (1, T, L) bf16/f32: edge features chunk
-    sp_ref,  # (1, Nr, L): sender node parts (nodes @ Ws)
-    rp_ref,  # (1, Nr, L): receiver node parts
+    e_ref,  # (PB, T, L) bf16/f32: edge features chunk, PB batch elements
+    sp_ref,  # (PB, Nr, L): sender node parts (nodes @ Ws)
+    rp_ref,  # (PB, Nr, L): receiver node parts
     sndT_ref,  # (1, T, 1) int32 window-local senders
     rcvT_ref,  # (1, T, 1) int32 window-local receivers
     rcvrow_ref,  # (1, 1, T) int32 window-local receivers, row layout
@@ -304,8 +304,8 @@ def _fwd_kernel(
     b3_ref,  # (1, L)
     lns_ref,  # (1, L)
     lnb_ref,  # (1, L)
-    e2_ref,  # out (1, T, L)
-    agg_ref,  # out (1, Nr, 4L) f32, VMEM-resident per batch element
+    e2_ref,  # out (PB, T, L)
+    agg_ref,  # out (PB, Nr, 4L) f32, VMEM-resident per batch element
     *,
     L: int,
     W: int,
@@ -316,39 +316,51 @@ def _fwd_kernel(
     finalize: bool = True,
 ):
     c = pl.program_id(1)
+    PB = e_ref.shape[0]  # batch elements per grid step (grid amortization)
     Tc = e_ref.shape[1]
 
     @pl.when(c == 0)
     def _init():
-        agg_ref[0, :, : 2 * L] = jnp.zeros_like(agg_ref[0, :, : 2 * L])
-        agg_ref[0, :, 2 * L : 3 * L] = jnp.full_like(
-            agg_ref[0, :, 2 * L : 3 * L], -_BIG
+        agg_ref[:, :, : 2 * L] = jnp.zeros_like(agg_ref[:, :, : 2 * L])
+        agg_ref[:, :, 2 * L : 3 * L] = jnp.full_like(
+            agg_ref[:, :, 2 * L : 3 * L], -_BIG
         )
-        agg_ref[0, :, 3 * L :] = jnp.full_like(agg_ref[0, :, 3 * L :], _BIG)
+        agg_ref[:, :, 3 * L :] = jnp.full_like(agg_ref[:, :, 3 * L :], _BIG)
 
     ws = pl.multiple_of(ws_ref[0, c], 16)
     rlo = pl.multiple_of(rlo_ref[0, c], 8)
 
-    e = e_ref[0].astype(cdt)  # [T, L]
     snd_col = sndT_ref[0]  # [T, 1]
     rcv_col = rcvT_ref[0]  # [T, 1]
     m_col = mT_ref[0]  # [T, 1] f32
 
-    # --- banded one-hot gathers (exact: one-hot x bf16, f32 accumulate)
+    # --- banded one-hot gathers (exact: one-hot x bf16, f32 accumulate);
+    # the one-hots are topology-derived, shared by all PB batch elements
     oh_s = (
         jax.lax.broadcasted_iota(jnp.int32, (Tc, W), 1) == snd_col
     ).astype(cdt)
     oh_r = (
         jax.lax.broadcasted_iota(jnp.int32, (Tc, WR), 1) == rcv_col
     ).astype(cdt)
-    spw = sp_ref[0, pl.ds(ws, W), :].astype(cdt)  # [W, L]
-    rpw = rp_ref[0, pl.ds(rlo, WR), :].astype(cdt)  # [WR, L]
-    # Mosaic requires 32-bit matmul accumulators; round to the compute
-    # dtype after, matching XLA's bf16-out MXU semantics.
-    sp_rows = jnp.dot(oh_s, spw, preferred_element_type=jnp.float32).astype(cdt)
-    rp_rows = jnp.dot(oh_r, rpw, preferred_element_type=jnp.float32).astype(cdt)
+    sp_parts = []
+    rp_parts = []
+    for i in range(PB):
+        spw = sp_ref[i, pl.ds(ws, W), :].astype(cdt)  # [W, L]
+        rpw = rp_ref[i, pl.ds(rlo, WR), :].astype(cdt)  # [WR, L]
+        # Mosaic requires 32-bit matmul accumulators; round to the compute
+        # dtype after, matching XLA's bf16-out MXU semantics.
+        sp_parts.append(
+            jnp.dot(oh_s, spw, preferred_element_type=jnp.float32).astype(cdt)
+        )
+        rp_parts.append(
+            jnp.dot(oh_r, rpw, preferred_element_type=jnp.float32).astype(cdt)
+        )
+    sp_rows = jnp.concatenate(sp_parts, axis=0) if PB > 1 else sp_parts[0]
+    rp_rows = jnp.concatenate(rp_parts, axis=0) if PB > 1 else rp_parts[0]
 
-    # --- edge MLP (matches nn/mlp._dense + mlp_apply_tail semantics)
+    # --- edge MLP on the [PB*T, L] flattened stream: one large matmul per
+    # layer regardless of PB (matches nn/mlp._dense + mlp_apply_tail)
+    e = e_ref[...].astype(cdt).reshape(PB * Tc, L)
     ep = jnp.dot(
         e, we_ref[...].astype(cdt), preferred_element_type=jnp.float32
     ).astype(cdt)
@@ -377,24 +389,36 @@ def _fwd_kernel(
     o = xhat * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
         jnp.float32
     )
-    e2 = e + o.astype(cdt)
-    e2_ref[0] = e2.astype(e2_ref.dtype)
+    e2 = e + o.astype(cdt)  # [PB*T, L]
+    e2_ref[...] = e2.reshape(PB, Tc, L).astype(e2_ref.dtype)
 
-    # --- pna aggregation of e2 (segmented scans, cf. segment_pna)
-    d = e2.astype(jnp.float32)
+    # --- pna aggregation of e2 (segmented scans, cf. segment_pna);
+    # the count scan is mask-only and shared across the PB elements
     valid = m_col > 0.0
-    dw = d * m_col
-    cw = m_col
-    dmx = jnp.where(valid, d, -_BIG)
-    dmn = jnp.where(valid, d, _BIG)
     riota = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
+    dws, dmxs, dmns = [], [], []
+    cw = m_col
+    for i in range(PB):
+        d = e2[i * Tc : (i + 1) * Tc].astype(jnp.float32)
+        dws.append(d * m_col)
+        dmxs.append(jnp.where(valid, d, -_BIG))
+        dmns.append(jnp.where(valid, d, _BIG))
     k = 1
     for _ in range(scan_steps):
         same = (rcv_col == pltpu.roll(rcv_col, k, axis=0)) & (riota >= k)
-        dw = jnp.where(same, dw + pltpu.roll(dw, k, axis=0), dw)
         cw = jnp.where(same, cw + pltpu.roll(cw, k, axis=0), cw)
-        dmx = jnp.where(same, jnp.maximum(dmx, pltpu.roll(dmx, k, axis=0)), dmx)
-        dmn = jnp.where(same, jnp.minimum(dmn, pltpu.roll(dmn, k, axis=0)), dmn)
+        for i in range(PB):
+            dws[i] = jnp.where(
+                same, dws[i] + pltpu.roll(dws[i], k, axis=0), dws[i]
+            )
+            dmxs[i] = jnp.where(
+                same, jnp.maximum(dmxs[i], pltpu.roll(dmxs[i], k, axis=0)),
+                dmxs[i],
+            )
+            dmns[i] = jnp.where(
+                same, jnp.minimum(dmns[i], pltpu.roll(dmns[i], k, axis=0)),
+                dmns[i],
+            )
         k *= 2
 
     rrow = rcvrow_ref[0]  # [1, T] window-local
@@ -405,42 +429,57 @@ def _fwd_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rrow
     ).astype(jnp.float32) * is_last  # [WR, T]
 
-    vals = jnp.concatenate([dw, dmx, dmn], axis=-1).astype(cdt)  # [T, 3L]
+    # one selection matmul carries all PB elements' partials (lane concat)
+    vals = jnp.concatenate(
+        [jnp.concatenate([dws[i], dmxs[i], dmns[i]], axis=-1) for i in range(PB)],
+        axis=-1,
+    ).astype(cdt)  # [T, PB*3L]
     sel = jnp.dot(
         ohl.astype(cdt), vals, preferred_element_type=jnp.float32
-    )  # [WR, 3L]
+    )  # [WR, PB*3L]
     cnt = jnp.dot(
         ohl.astype(cdt), cw.astype(cdt), preferred_element_type=jnp.float32
     )  # [WR, 1]
     pres = jnp.sum(ohl, axis=1, keepdims=True) > 0.0
 
-    cur = agg_ref[0, pl.ds(rlo, WR), :]
-    new_sum = cur[:, :L] + sel[:, :L]
-    new_cnt = cur[:, L : 2 * L] + jnp.broadcast_to(cnt, (WR, L))
-    new_mx = jnp.where(
-        pres, jnp.maximum(cur[:, 2 * L : 3 * L], sel[:, L : 2 * L]),
-        cur[:, 2 * L : 3 * L],
-    )
-    new_mn = jnp.where(
-        pres, jnp.minimum(cur[:, 3 * L :], sel[:, 2 * L :]),
-        cur[:, 3 * L :],
-    )
-    agg_ref[0, pl.ds(rlo, WR), :] = jnp.concatenate(
-        [new_sum, new_cnt, new_mx, new_mn], axis=-1
-    )
+    for i in range(PB):
+        sel_i = sel[:, i * 3 * L : (i + 1) * 3 * L]
+        cur = agg_ref[i, pl.ds(rlo, WR), :]
+        new_sum = cur[:, :L] + sel_i[:, :L]
+        new_cnt = cur[:, L : 2 * L] + jnp.broadcast_to(cnt, (WR, L))
+        new_mx = jnp.where(
+            pres, jnp.maximum(cur[:, 2 * L : 3 * L], sel_i[:, L : 2 * L]),
+            cur[:, 2 * L : 3 * L],
+        )
+        new_mn = jnp.where(
+            pres, jnp.minimum(cur[:, 3 * L :], sel_i[:, 2 * L :]),
+            cur[:, 3 * L :],
+        )
+        agg_ref[i, pl.ds(rlo, WR), :] = jnp.concatenate(
+            [new_sum, new_cnt, new_mx, new_mn], axis=-1
+        )
 
     # with finalize=False the output stays [sum | count | max(-BIG) |
     # min(+BIG)] — raw partials an edge-sharded caller combines with
     # psum/pmax/pmin before finalizing (fused_edge_block_collective)
     @pl.when((c == C - 1) & bool(finalize))
     def _finalize():
-        s = agg_ref[0, :, :L]
-        n = agg_ref[0, :, L : 2 * L]
-        mx = agg_ref[0, :, 2 * L : 3 * L]
-        mn = agg_ref[0, :, 3 * L :]
-        agg_ref[0, :, L : 2 * L] = s / jnp.maximum(n, 1.0)
-        agg_ref[0, :, 2 * L : 3 * L] = jnp.where(mx <= -_BIG / 2, 0.0, mx)
-        agg_ref[0, :, 3 * L :] = jnp.where(mn >= _BIG / 2, 0.0, mn)
+        s = agg_ref[:, :, :L]
+        n = agg_ref[:, :, L : 2 * L]
+        mx = agg_ref[:, :, 2 * L : 3 * L]
+        mn = agg_ref[:, :, 3 * L :]
+        agg_ref[:, :, L : 2 * L] = s / jnp.maximum(n, 1.0)
+        agg_ref[:, :, 2 * L : 3 * L] = jnp.where(mx <= -_BIG / 2, 0.0, mx)
+        agg_ref[:, :, 3 * L :] = jnp.where(mn >= _BIG / 2, 0.0, mn)
+
+
+def _pb_pad(x: Array, pb: int) -> Array:
+    """Pad the batch dim to a multiple of ``pb`` (grid-amortization)."""
+    B = x.shape[0]
+    pad = _round_up(B, pb) - B
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
 
 def _fwd_call(
@@ -451,8 +490,16 @@ def _fwd_call(
     plan: BandPlan,
     interpret: bool,
     finalize: bool = True,
+    pb: int = 1,
 ) -> Tuple[Array, Array]:
     B, E_pad, L = e_pad.shape
+    pb = max(1, min(pb, B))
+    if B % pb:
+        e_pad, sp, rp = _pb_pad(e_pad, pb), _pb_pad(sp, pb), _pb_pad(rp, pb)
+        e2, agg = _fwd_call(
+            e_pad, sp, rp, weights, plan, interpret, finalize, pb
+        )
+        return e2[:B], agg[:B]
     Nr = sp.shape[1]
     T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
     cdt = e_pad.dtype
@@ -473,13 +520,13 @@ def _fwd_call(
             jax.ShapeDtypeStruct((B, E_pad, L), e_pad.dtype),
             jax.ShapeDtypeStruct((B, Nr, 4 * L), jnp.float32),
         ),
-        grid=(B, C),
+        grid=(B // pb, C),
         in_specs=[
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((1, 1, T), lambda b, c: (c, 0, 0)),
@@ -494,8 +541,8 @@ def _fwd_call(
             pl.BlockSpec((1, L), lambda b, c: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, Nr, 4 * L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, Nr, 4 * L), lambda b, c: (b, 0, 0)),
         ),
         interpret=interpret,
     )(
@@ -528,6 +575,7 @@ def fused_edge_block(
     plan: BandPlan,
     num_nodes: int,
     interpret: Optional[bool] = None,
+    pb: int = 1,
 ) -> Tuple[Array, Array]:
     """Fused edge update + pna aggregation.
 
@@ -535,6 +583,9 @@ def fused_edge_block(
     the factored first layer already split into ``sp``/``rp``/``we`` parts
     (blocks._update_edge_features), and ``agg`` is the [.., num_nodes, 4L]
     f32 pna aggregate of ``e2``.
+
+    ``pb`` = batch elements per grid step (grid amortization): the kernels'
+    serialized grid shrinks by pb at ~pb x the per-step VMEM footprint.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -545,7 +596,8 @@ def fused_edge_block(
     E = e3.shape[1]
     e_pad, sp_pad, rp_pad = _pad_to_plan(e3, sp3, rp3, plan, num_nodes)
     e2, agg = _fused_vjp(
-        e_pad, sp_pad, rp_pad, _edge_weights(weights), plan, interpret
+        e_pad, sp_pad, rp_pad, _edge_weights(weights), plan, interpret,
+        max(1, min(pb, e3.shape[0])),
     )
     e2 = e2[:, :E, :]
     agg = agg[:, :num_nodes, :]
@@ -554,17 +606,71 @@ def fused_edge_block(
     return e2, agg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _fused_vjp(e_pad, sp, rp, weights, plan, interpret):
+def fused_edge_block_batchable(
+    e: Array,
+    sp: Array,
+    rp: Array,
+    weights: dict,
+    plan: BandPlan,
+    num_nodes: int,
+    interpret: Optional[bool] = None,
+    pb: int = 1,
+) -> Tuple[Array, Array]:
+    """:func:`fused_edge_block` that collapses an outer ``vmap`` into the
+    kernel's batch grid dimension.
+
+    Under plain vmap, pallas_call's batching rule adds a size-1 batch block
+    per sample, so ``pb`` (batch elements per grid step) never sees the
+    real batch.  This wrapper's custom-vmap rule hands the whole [B, E, L]
+    batch to one kernel launch, shrinking the serialized grid by ``pb``.
+    """
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def call(e, sp, rp, weights, plan):
+        return fused_edge_block(
+            e, sp, rp, weights, plan, num_nodes, interpret, pb
+        )
+
+    @call.def_vmap
+    def rule(axis_size, in_batched, e, sp, rp, weights, plan):
+        e_b, sp_b, rp_b, w_b, plan_b = in_batched
+
+        def ensure(x, batched):
+            if batched:
+                return x
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (axis_size,) + a.shape), x
+            )
+
+        e = ensure(e, e_b)
+        sp = ensure(sp, sp_b)
+        rp = ensure(rp, rp_b)
+        # weights / plan are vmap constants in every caller (closed-over
+        # params, topology-derived plan); reject silently-batched cases
+        if any(jax.tree.leaves(w_b)) or any(jax.tree.leaves(plan_b)):
+            raise NotImplementedError(
+                "fused_edge_block_batchable: batched weights/plan"
+            )
+        out = fused_edge_block(
+            e, sp, rp, weights, plan, num_nodes, interpret, pb
+        )
+        return out, (True, True)
+
+    return call(e, sp, rp, weights, plan)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_vjp(e_pad, sp, rp, weights, plan, interpret, pb):
     # ``plan`` is formally differentiable (it rides the Graph pytree, so
     # its arrays may be tracers under jit/scan); its cotangents are zeros
     # (float0 for the integer index arrays) — see _fused_bwd.
-    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret)
+    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb)
     return e2, agg
 
 
-def _fused_fwd(e_pad, sp, rp, weights, plan, interpret):
-    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret)
+def _fused_fwd(e_pad, sp, rp, weights, plan, interpret, pb):
+    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb)
     return (e2, agg), (e_pad, sp, rp, weights, agg, plan)
 
 
@@ -614,6 +720,7 @@ def _bwd_kernel(
     tie_tol: float,
 ):
     c = pl.program_id(1)
+    PB = e_ref.shape[0]  # batch elements per grid step
     Tc = e_ref.shape[1]
     f32 = jnp.float32
 
@@ -626,22 +733,28 @@ def _bwd_kernel(
     ws = pl.multiple_of(ws_ref[0, c], 16)
     rlo = pl.multiple_of(rlo_ref[0, c], 8)
 
-    e = e_ref[0].astype(cdt)
     snd_col = sndT_ref[0]
     rcv_col = rcvT_ref[0]
     m_col = mT_ref[0]
 
-    # --- recompute the forward chunk (remat: everything is VMEM-resident)
+    # --- recompute the forward chunk (remat: everything is VMEM-resident);
+    # one-hots are shared by the PB batch elements, the MLP chain runs on
+    # the [PB*T, L] flattened stream (one matmul per layer)
     oh_s = (
         jax.lax.broadcasted_iota(jnp.int32, (Tc, W), 1) == snd_col
     ).astype(cdt)
     oh_r = (
         jax.lax.broadcasted_iota(jnp.int32, (Tc, WR), 1) == rcv_col
     ).astype(cdt)
-    spw = sp_ref[0, pl.ds(ws, W), :].astype(cdt)
-    rpw = rp_ref[0, pl.ds(rlo, WR), :].astype(cdt)
-    sp_rows = jnp.dot(oh_s, spw, preferred_element_type=f32).astype(cdt)
-    rp_rows = jnp.dot(oh_r, rpw, preferred_element_type=f32).astype(cdt)
+    sp_parts, rp_parts = [], []
+    for i in range(PB):
+        spw = sp_ref[i, pl.ds(ws, W), :].astype(cdt)
+        rpw = rp_ref[i, pl.ds(rlo, WR), :].astype(cdt)
+        sp_parts.append(jnp.dot(oh_s, spw, preferred_element_type=f32).astype(cdt))
+        rp_parts.append(jnp.dot(oh_r, rpw, preferred_element_type=f32).astype(cdt))
+    sp_rows = jnp.concatenate(sp_parts, axis=0) if PB > 1 else sp_parts[0]
+    rp_rows = jnp.concatenate(rp_parts, axis=0) if PB > 1 else rp_parts[0]
+    e = e_ref[...].astype(cdt).reshape(PB * Tc, L)
     ep = jnp.dot(
         e, we_ref[...].astype(cdt), preferred_element_type=f32
     ).astype(cdt)
@@ -671,10 +784,13 @@ def _bwd_kernel(
     o = xhat * lns + lnb
     e2v = (e + o.astype(cdt)).astype(f32)  # exact forward e2 (tie compare)
 
-    # --- aggregation cotangent routed back to this chunk's edges
+    # --- aggregation cotangent routed back to this chunk's edges: one
+    # selection matmul carries all PB elements' windows (lane concat)
     ohT = oh_r  # [T, WR] — same one-hot, selection direction
-    rhsw = drhs_ref[0, pl.ds(rlo, WR), :].astype(cdt)  # [WR, 5L]
-    got = jnp.dot(ohT, rhsw, preferred_element_type=f32)  # [T, 5L]
+    rhsw = jnp.concatenate(
+        [drhs_ref[i, pl.ds(rlo, WR), :] for i in range(PB)], axis=-1
+    ).astype(cdt)  # [WR, PB*5L]
+    got_all = jnp.dot(ohT, rhsw, preferred_element_type=f32)  # [T, PB*5L]
 
     # max/min winner routing.  ``tie_tol`` is a static, path-dependent
     # relative tolerance: 0 for the kernel-forward path (the saved extrema
@@ -683,22 +799,29 @@ def _bwd_kernel(
     # hybrid XLA-forward path whose e2 differs from this recomputation in
     # the last ulps (f32: reassociation error ~1e-6 relative; bf16: up to
     # one ulp = 2^-8 relative when rounding boundaries straddle).
-    mx = got[:, L : 2 * L]
-    mn = got[:, 3 * L : 4 * L]
-    route = got[:, :L]
-    route = route + jnp.where(
-        jnp.abs(e2v - mx) <= tie_tol * jnp.abs(mx) + tie_tol,
-        got[:, 2 * L : 3 * L],
-        0.0,
-    )
-    route = route + jnp.where(
-        jnp.abs(e2v - mn) <= tie_tol * jnp.abs(mn) + tie_tol,
-        got[:, 4 * L :],
-        0.0,
-    )
-    route = route * m_col
+    routes = []
+    for i in range(PB):
+        got = got_all[:, i * 5 * L : (i + 1) * 5 * L]
+        e2v_i = e2v[i * Tc : (i + 1) * Tc]
+        mx = got[:, L : 2 * L]
+        mn = got[:, 3 * L : 4 * L]
+        route = got[:, :L]
+        route = route + jnp.where(
+            jnp.abs(e2v_i - mx) <= tie_tol * jnp.abs(mx) + tie_tol,
+            got[:, 2 * L : 3 * L],
+            0.0,
+        )
+        route = route + jnp.where(
+            jnp.abs(e2v_i - mn) <= tie_tol * jnp.abs(mn) + tie_tol,
+            got[:, 4 * L :],
+            0.0,
+        )
+        routes.append(route * m_col)
+    route_all = jnp.concatenate(routes, axis=0) if PB > 1 else routes[0]
 
-    de2_tot = de2_ref[0].astype(f32) + route  # [T, L] f32
+    de2_tot = (
+        de2_ref[...].astype(f32).reshape(PB * Tc, L) + route_all
+    )  # [PB*T, L] f32
 
     # --- LayerNorm backward (f32)
     do = de2_tot
@@ -724,12 +847,12 @@ def _bwd_kernel(
         )
     ).astype(cdt)
 
-    de_ref[0] = de.astype(de_ref.dtype)
-    dh_ref[0] = dh.astype(dh_ref.dtype)
-    dz2_ref[0] = dz2.astype(dz2_ref.dtype)
-    dz3_ref[0] = dz3.astype(dz3_ref.dtype)
-    a1_ref[0] = a1.astype(a1_ref.dtype)
-    a2_ref[0] = a2.astype(a2_ref.dtype)
+    de_ref[...] = de.reshape(PB, Tc, L).astype(de_ref.dtype)
+    dh_ref[...] = dh.reshape(PB, Tc, L).astype(dh_ref.dtype)
+    dz2_ref[...] = dz2.reshape(PB, Tc, L).astype(dz2_ref.dtype)
+    dz3_ref[...] = dz3.reshape(PB, Tc, L).astype(dz3_ref.dtype)
+    a1_ref[...] = a1.reshape(PB, Tc, L).astype(a1_ref.dtype)
+    a2_ref[...] = a2.reshape(PB, Tc, L).astype(a2_ref.dtype)
 
     # --- node-part cotangents: transposed one-hot scatter (RMW, race-free
     # on the sequential TPU grid)
@@ -739,13 +862,16 @@ def _bwd_kernel(
     ohr_T = (
         jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rcvrow_ref[0]
     ).astype(cdt)  # [WR, T]
-    dsp_w = jnp.dot(ohs_T, dh, preferred_element_type=f32)
-    drp_w = jnp.dot(ohr_T, dh, preferred_element_type=f32)
-    dsp_ref[0, pl.ds(ws, W), :] = dsp_ref[0, pl.ds(ws, W), :] + dsp_w
-    drp_ref[0, pl.ds(rlo, WR), :] = drp_ref[0, pl.ds(rlo, WR), :] + drp_w
+    for i in range(PB):
+        dh_i = dh[i * Tc : (i + 1) * Tc]
+        dsp_w = jnp.dot(ohs_T, dh_i, preferred_element_type=f32)
+        drp_w = jnp.dot(ohr_T, dh_i, preferred_element_type=f32)
+        dsp_ref[i, pl.ds(ws, W), :] = dsp_ref[i, pl.ds(ws, W), :] + dsp_w
+        drp_ref[i, pl.ds(rlo, WR), :] = drp_ref[i, pl.ds(rlo, WR), :] + drp_w
 
-    # --- bias / LN parameter gradients (row 0..4 of dpar)
-    ones = jnp.ones((1, Tc), f32)
+    # --- bias / LN parameter gradients (row 0..4 of dpar); summed over the
+    # PB elements into row-block 0 (the caller sums over the batch anyway)
+    ones = jnp.ones((1, PB * Tc), f32)
     upd = jnp.concatenate(
         [
             jnp.dot(ones, dh.astype(f32), preferred_element_type=f32),
@@ -770,8 +896,17 @@ def _bwd_call(
     plan: BandPlan,
     interpret: bool,
     tie_tol: float,
+    pb: int = 1,
 ):
     B, E_pad, L = e_pad.shape
+    pb = max(1, min(pb, B))
+    if B % pb:
+        outs = _bwd_call(
+            _pb_pad(e_pad, pb), _pb_pad(sp, pb), _pb_pad(rp, pb), weights,
+            _pb_pad(de2_pad, pb), _pb_pad(drhs, pb), plan, interpret,
+            tie_tol, pb,
+        )
+        return tuple(o[:B] for o in outs)
     Nr = sp.shape[1]
     T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
     cdt = e_pad.dtype
@@ -795,15 +930,15 @@ def _bwd_call(
             jax.ShapeDtypeStruct((B, Nr, L), jnp.float32),  # drp
             jax.ShapeDtypeStruct((B, 8, L), jnp.float32),  # dpar
         ),
-        grid=(B, C),
+        grid=(B // pb, C),
         in_specs=[
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, Nr, 5 * L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, Nr, 5 * L), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((1, 1, T), lambda b, c: (c, 0, 0)),
@@ -821,15 +956,15 @@ def _bwd_call(
             pl.BlockSpec((2, L), lambda b, c: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, T, L), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((1, Nr, L), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((1, 8, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, 8, L), lambda b, c: (b, 0, 0)),
         ),
         interpret=interpret,
     )(
@@ -880,7 +1015,7 @@ def _zero_plan_cotangent(plan: BandPlan) -> BandPlan:
 
 def _bwd_core(
     e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret,
-    tie_tol=0.0,
+    tie_tol=0.0, pb: int = 1,
 ):
     """Shared backward: remat Pallas kernel + dense weight-grad matmuls.
 
@@ -908,7 +1043,7 @@ def _bwd_core(
     )
     de, dh, dz2, dz3, a1, a2, dsp, drp, dpar = _bwd_call(
         e_pad, sp, rp, weights, de2_bar.astype(e_pad.dtype), drhs, plan,
-        interpret, tie_tol,
+        interpret, tie_tol, pb,
     )
     f32 = jnp.float32
     dweights = {
@@ -931,13 +1066,14 @@ def _bwd_core(
     )
 
 
-def _fused_bwd(interpret, res, g):
+def _fused_bwd(interpret, pb, res, g):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     e_pad, sp, rp, weights, agg, plan = res
     de2_bar, dagg_bar = g
     de, dsp, drp, dweights = _bwd_core(
-        e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret
+        e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret,
+        pb=pb,
     )
     return (de, dsp, drp, dweights, _zero_plan_cotangent(plan))
 

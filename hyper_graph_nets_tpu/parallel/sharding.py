@@ -126,6 +126,11 @@ def constrain_graph(graph: Graph, mesh: Mesh) -> Graph:
             # 1-D masks shard over 'graph'; batched 2-D over ('data','graph')
             mask = c(es.mask, P(*("data", "graph")[-es.mask.ndim :]))
         band_plan = es.band_plan
+        if band_plan is not None and band_plan.w_s.shape[0] != mesh.shape["graph"]:
+            # non-stacked plan (e.g. an RMP cluster-tier set): the in-step
+            # shard_map region needs one plan view per 'graph' shard, so
+            # these sets fall back to the unfused sharded aggregation
+            band_plan = None
         if band_plan is not None:
             # stacked per-shard plan: leading (chunk) axis over 'graph' so
             # the in-step shard_map region finds each device's local view

@@ -46,12 +46,16 @@ class RMPStatic(NamedTuple):
     assign_mean: np.ndarray  # [K, N] f32 rows sum to 1 over members
     sizes: np.ndarray  # [K] f32 cluster sizes
     # up: member -> hyper (intra_cluster_to_cluster), ordered by receiver
+    # with non-members (mask 0) moved to the tail — valid edges form a
+    # receiver-sorted PREFIX, the band-plan convention
     up_perm: np.ndarray  # [N] node order
     up_senders: np.ndarray  # [N]
     up_receivers: np.ndarray  # [N] (N + label)
     up_mask: np.ndarray  # [N]
     up_gather: Tuple[np.ndarray, np.ndarray]  # [(N+K, d), ...]
-    # down: hyper -> member (intra_cluster_to_mesh), receiver-sorted (arange)
+    # down: hyper -> member (intra_cluster_to_mesh), receiver-sorted valid
+    # prefix (member nodes in ascending order), non-members at the tail
+    down_perm: np.ndarray  # [N] node order (edge i receives node down_perm[i])
     down_senders: np.ndarray  # [N]
     down_receivers: np.ndarray  # [N]
     down_mask: np.ndarray  # [N]
@@ -70,6 +74,15 @@ class RMPStatic(NamedTuple):
     inter_world_senders: Optional[np.ndarray] = None  # [P]
     inter_world_receivers: Optional[np.ndarray] = None  # [P]
     inter_world_mask: Optional[np.ndarray] = None  # [P]
+    # banded-window plans for the fused MP-block kernel on the cluster-tier
+    # edge sets (attached by RemoteMessagePassing.prepare when the model
+    # runs agg_vjp=fused; None otherwise).  Plan dims are forced to
+    # deterministic functions of (N, K_padded, chunk) so reclustering swaps
+    # values without changing shapes (no recompile per recluster).
+    up_plan: Optional[object] = None
+    down_plan: Optional[object] = None
+    inter_plan: Optional[object] = None
+    inter_world_plan: Optional[object] = None
 
 
 def _delaunay_pairs(centers: np.ndarray) -> list:
@@ -124,8 +137,11 @@ def build_static(
     sizes = assign.sum(axis=1)
     assign_mean = assign / np.maximum(sizes, 1.0)[:, None]
 
-    # up edges (member -> hyper), receiver-sorted = label-sorted
-    up_perm = np.argsort(labels, kind="stable").astype(np.int32)
+    # up edges (member -> hyper), receiver-sorted = label-sorted, with
+    # non-members (obstacle nodes, unsampled nodes) moved to the tail so
+    # valid edges form a receiver-sorted prefix (band-plan convention)
+    up_perm = np.lexsort((np.arange(num_nodes), labels, member_mask == 0))
+    up_perm = up_perm.astype(np.int32)
     up_senders = up_perm
     up_receivers = (num_nodes + labels[up_perm]).astype(np.int32)
     up_mask = member_mask[up_perm]
@@ -133,10 +149,14 @@ def build_static(
         up_receivers, num_nodes + K, mask=up_mask
     )
 
-    # down edges (hyper -> member), receivers 0..N-1 already sorted
-    down_senders = (num_nodes + labels).astype(np.int32)
-    down_receivers = np.arange(num_nodes, dtype=np.int32)
-    down_mask = member_mask.copy()
+    # down edges (hyper -> member): member receivers ascending (a sorted
+    # valid prefix), non-members at the tail
+    down_perm = np.lexsort((np.arange(num_nodes), member_mask == 0)).astype(
+        np.int32
+    )
+    down_senders = (num_nodes + labels[down_perm]).astype(np.int32)
+    down_receivers = down_perm.copy()
+    down_mask = member_mask[down_perm]
     down_gather = receivers_to_gather(
         down_receivers, num_nodes + K, mask=down_mask
     )
@@ -215,6 +235,7 @@ def build_static(
         up_receivers=up_receivers,
         up_mask=up_mask.astype(np.float32),
         up_gather=up_gather,
+        down_perm=down_perm,
         down_senders=down_senders,
         down_receivers=down_receivers,
         down_mask=down_mask.astype(np.float32),
@@ -354,7 +375,10 @@ class HierarchicalConnector:
         # and mesh->hyper as coord-mean via _get_subgraph symmetrization)
         up_perm = jnp.asarray(static.up_perm)
         up_feats_raw = jnp.take(_edge_feats(diff, world_dim), up_perm, axis=-2)
-        down_feats_raw = _edge_feats(-diff, world_dim)
+        down_feats_raw = jnp.take(
+            _edge_feats(-diff, world_dim), jnp.asarray(static.down_perm),
+            axis=-2,
+        )
         up_mask = jnp.asarray(static.up_mask)
         down_mask = jnp.asarray(static.down_mask)
 
@@ -404,7 +428,7 @@ class HierarchicalConnector:
                 )
             edge_sets[nm] = es
 
-        def mk(name, feats, snd, rcv, mask, gather):
+        def mk(name, feats, snd, rcv, mask, gather, plan=None):
             edge_sets[name] = EdgeSet(
                 features=feats,
                 senders=jnp.asarray(snd),
@@ -412,6 +436,7 @@ class HierarchicalConnector:
                 mask=jnp.broadcast_to(jnp.asarray(mask), feats.shape[:-1]),
                 gather_idx=jnp.asarray(gather[0]),
                 gather_valid=jnp.asarray(gather[1]),
+                band_plan=plan,
             )
 
         mk(
@@ -421,6 +446,7 @@ class HierarchicalConnector:
             static.up_receivers,
             up_mask,
             static.up_gather,
+            static.up_plan,
         )
         mk(
             "intra_cluster_to_mesh",
@@ -429,6 +455,7 @@ class HierarchicalConnector:
             static.down_receivers,
             down_mask,
             static.down_gather,
+            static.down_plan,
         )
         mk(
             "inter_cluster",
@@ -437,6 +464,7 @@ class HierarchicalConnector:
             static.inter_receivers,
             inter_mask,
             static.inter_gather,
+            static.inter_plan,
         )
 
         if self.inter_world and static.inter_world_senders is not None:
@@ -461,6 +489,7 @@ class HierarchicalConnector:
                 senders=iw_s,
                 receivers=iw_r,
                 mask=jnp.broadcast_to(iw_m, iw_feats.shape[:-1]),
+                band_plan=static.inter_world_plan,
             )
 
         graph = graph.replace(edge_sets=edge_sets, hyper_features=hyper_features)

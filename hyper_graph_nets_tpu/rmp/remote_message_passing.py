@@ -122,7 +122,8 @@ class RemoteMessagePassing:
             inter_world=inter_world,
             world_collide_labels=world_labels,
         )
-        self._static = self._pad_static(static)
+        static = self._pad_static(static)
+        self._static = self._attach_band_plans(static, model, topo.num_nodes)
         return self._static
 
     def _cluster_without_obstacles(self, host: HostGraph) -> Clustering:
@@ -231,6 +232,93 @@ class RemoteMessagePassing:
                 static.member_valid,
                 ((0, 0), (0, m_max - static.member_valid.shape[1])),
             ),
+        )
+
+    @staticmethod
+    def _attach_band_plans(static: RMPStatic, model, num_nodes: int) -> RMPStatic:
+        """Banded-window plans for the cluster-tier edge sets.
+
+        With ``agg_vjp: fused``, the hierarchical block's up/cross/down
+        sub-steps run the same fused Pallas kernel as the mesh tier (the
+        cluster-tier structure is trivially banded: every node connects to
+        exactly one cluster).  Plan dims are forced to deterministic
+        functions of (N, K_padded, chunk) wherever they depend on the
+        cluster assignment, so reclustering swaps plan VALUES without
+        changing shapes — the compiled step is reused across reclusters.
+        Reference target: src/migration/hypergraphnet.py:26-54 (the 7
+        sequential sub-steps this accelerates).
+        """
+        if model.params["model"].get("agg_vjp") != "fused":
+            return static
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+            _round_up as ru,
+            build_band_plan,
+            default_chunk,
+        )
+
+        chunk = model.params["model"].get("fused_chunk") or default_chunk()
+        N = int(num_nodes)
+        Kp = int(static.assign_mean.shape[0])
+        rows = N + Kp
+        clog2 = lambda n: max(int(n) - 1, 1).bit_length()
+
+        def plan(snd, rcv, mask, w_bound, wr_bound, steps_bound):
+            snd, rcv = np.asarray(snd), np.asarray(rcv)
+            m = np.asarray(mask)
+            ev = int(m.sum())
+            # valid edges must form a receiver-sorted prefix
+            if ev and (m[:ev].min() <= 0 or np.any(np.diff(rcv[:ev]) < 0)):
+                return None
+            if max(w_bound, wr_bound, 128) > 2048:
+                return None  # window over the kernel limit; stay unfused
+            try:
+                p0 = build_band_plan(snd, rcv, rows, num_valid=ev, chunk=chunk)
+                force = (
+                    max(p0.W, w_bound),
+                    max(p0.WR, wr_bound),
+                    max(p0.scan_steps, steps_bound),
+                    max(
+                        p0.nr_tag.shape[0],
+                        ((rows - 1) // 16) * 16 + max(p0.W, w_bound),
+                        ((rows - 1) // 8) * 8 + max(p0.WR, wr_bound),
+                    ),
+                )
+                return build_band_plan(
+                    snd, rcv, rows, num_valid=ev, chunk=chunk, force_dims=force
+                )
+            except ValueError:
+                return None
+
+        # up: senders are arbitrary node ids (span <= N, varies with the
+        # clustering); receivers span <= Kp per chunk; segments can fill a
+        # chunk (one big cluster)
+        up_plan = plan(
+            static.up_senders, static.up_receivers, static.up_mask,
+            w_bound=ru(N + 16, 128), wr_bound=ru(Kp + 8, 128),
+            steps_bound=clog2(chunk),
+        )
+        # down: senders are hyper rows (span <= Kp); receivers are the fixed
+        # ascending member order (stable per mesh); one edge per receiver
+        down_plan = plan(
+            static.down_senders, static.down_receivers, static.down_mask,
+            w_bound=ru(Kp + 16, 128), wr_bound=0, steps_bound=0,
+        )
+        # inter: both ends in the hyper rows
+        kb = ru(Kp + 16, 128)
+        inter_plan = plan(
+            static.inter_senders, static.inter_receivers, static.inter_mask,
+            w_bound=kb, wr_bound=kb, steps_bound=clog2(min(Kp, chunk)),
+        )
+        iw_plan = None
+        if static.inter_world_senders is not None:
+            iw_plan = plan(
+                static.inter_world_senders, static.inter_world_receivers,
+                static.inter_world_mask,
+                w_bound=kb, wr_bound=kb, steps_bound=clog2(min(Kp, chunk)),
+            )
+        return static._replace(
+            up_plan=up_plan, down_plan=down_plan, inter_plan=inter_plan,
+            inter_world_plan=iw_plan,
         )
 
     # ------------------------------------------------------------------

@@ -482,3 +482,56 @@ def test_band_plan_rejects_unsorted():
     snd = np.array([0, 1, 2], np.int32)
     with pytest.raises(ValueError, match="sorted"):
         build_band_plan(snd, rcv, 8, chunk=128)
+
+
+@pytest.mark.parametrize("pb", [2, 3])
+def test_grid_amortized_pb_matches_pb1(pb):
+    """fused_pb > 1 (several batch elements per grid step) reproduces the
+    pb=1 values and gradients, direct-batched and via the custom-vmap
+    wrapper (fused_edge_block_batchable) that collapses an outer vmap
+    into the kernel's batch grid dimension."""
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+        fused_edge_block_batchable,
+    )
+
+    N, E_valid, E, L, B = 64, 150, 256, 128, 5
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(
+        3, N, E_valid, E, L, B=B
+    )
+
+    def loss(wk, e, sp, rp, pb_):
+        e2, agg = fused_edge_block(
+            e, sp, rp, wk, plan, N, interpret=True, pb=pb_
+        )
+        return jnp.sum(jnp.sin(e2)) + jnp.sum(jnp.cos(agg)), (e2, agg)
+
+    (l1, (e2_1, agg_1)), g1 = jax.value_and_grad(
+        loss, has_aux=True, argnums=(0, 1, 2, 3)
+    )(wk, e, sp, rp, 1)
+    (l2, (e2_2, agg_2)), g2 = jax.value_and_grad(
+        loss, has_aux=True, argnums=(0, 1, 2, 3)
+    )(wk, e, sp, rp, pb)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(e2_1), np.asarray(e2_2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(agg_1), np.asarray(agg_2), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        # pb changes f32 accumulation order in the weight-grad reductions
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-4
+        )
+
+    def vloss(wk, e, sp, rp):
+        def per(e1, sp1, rp1):
+            e2, agg = fused_edge_block_batchable(
+                e1, sp1, rp1, wk, plan, N, interpret=True, pb=pb
+            )
+            return jnp.sum(jnp.sin(e2)) + jnp.sum(jnp.cos(agg))
+
+        return jnp.sum(jax.vmap(per)(e, sp, rp))
+
+    lv, gv = jax.value_and_grad(vloss, argnums=(0, 1, 2, 3))(wk, e, sp, rp)
+    np.testing.assert_allclose(float(lv), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gv), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-4
+        )
