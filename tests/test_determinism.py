@@ -86,8 +86,8 @@ class TestShuffledFit:
             seen = []
             orig = sim._train_step_fn
 
-            def spy(topo, _orig=orig, _seen=seen):
-                fn = _orig(topo)
+            def spy(topo, *args, _orig=orig, _seen=seen):
+                fn = _orig(topo, *args)
 
                 def wrapped(ts, frames, key, *rest):
                     _seen.append(int(np.asarray(frames["world_pos"]).shape[0]))

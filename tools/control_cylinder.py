@@ -107,7 +107,7 @@ def aligned_mse(pred: np.ndarray, gt: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 # torch reference driver
 # ---------------------------------------------------------------------------
-def run_reference(hgn: bool) -> dict:
+def run_reference(hgn: bool, seed: int = 0) -> dict:
     import torch
 
     from tests.refbridge import load_reference
@@ -115,9 +115,11 @@ def run_reference(hgn: bool) -> dict:
     load_reference()
     from src.model.cylinder import CylinderModel
 
-    torch.manual_seed(0)
-    np.random.seed(0)
-    random.seed(0)
+    # seed varies init + shuffle order; training noise stays seed-invariant
+    # because the reference loader reseeds np to 0 per epoch (graphloader.py:14)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    random.seed(seed)
 
     train, test = make_data()
     model = CylinderModel(model_config(hgn))
@@ -203,14 +205,16 @@ def run_reference(hgn: bool) -> dict:
 # ---------------------------------------------------------------------------
 # our driver
 # ---------------------------------------------------------------------------
-def run_ours(hgn: bool) -> dict:
+def run_ours(hgn: bool, seed: int = 0, shipped: bool = False) -> dict:
     from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+    from tools.control_common import shipped_overrides
 
     train, test = make_data()
     params = {
         "task": {"dataset": "cylinder_flow", "batch_size": 1},
-        "model": model_config(hgn),
-        "random_seed": 0,
+        "model": (shipped_overrides(model_config(hgn)) if shipped
+                  else model_config(hgn)),
+        "random_seed": seed,
     }
     sim = MeshSimulator(params, out_dir=os.path.join(OUT_DIR, "ours_cyl_tmp"))
     ts = sim.initialize()
@@ -243,7 +247,7 @@ def run_ours(hgn: bool) -> dict:
     }
 
 
-def run_reference_hgn() -> dict:
+def run_reference_hgn(seed: int = 0) -> dict:
     """The reference cannot run HGN on cylinder at all; record the crash.
 
     Two independent failures in the reference code path (verified by
@@ -255,7 +259,7 @@ def run_reference_hgn() -> dict:
     true world_dim, so ours-hgn runs (and is the comparison point).
     """
     try:
-        return run_reference(True)
+        return run_reference(True, seed)
     except Exception as e:  # noqa: BLE001 - recording the failure is the point
         return {
             "unsupported": True,
@@ -266,28 +270,17 @@ def run_reference_hgn() -> dict:
 
 
 RUNS = {
-    "ref-mgn": lambda: run_reference(False),
-    "ref-hgn": run_reference_hgn,
-    "ours-mgn": lambda: run_ours(False),
-    "ours-hgn": lambda: run_ours(True),
+    "ref-mgn": lambda seed, shipped: run_reference(False, seed),
+    "ref-hgn": lambda seed, shipped: run_reference_hgn(seed),
+    "ours-mgn": lambda seed, shipped: run_ours(False, seed, shipped),
+    "ours-hgn": lambda seed, shipped: run_ours(True, seed, shipped),
 }
 
 
 def main():
-    os.makedirs(OUT_DIR, exist_ok=True)
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    names = list(RUNS) if which == "all" else [which]
-    if any(n.startswith("ours") for n in names):
-        import jax
+    from tools.control_common import control_main
 
-        jax.config.update("jax_platforms", "cpu")
-    for name in names:
-        print(f"== {name} ==", flush=True)
-        result = RUNS[name]()
-        path = os.path.join(OUT_DIR, f"CONTROL_cylinder_{name}.json")
-        with open(path, "w") as f:
-            json.dump(result, f, indent=1)
-        print(f"wrote {path}", flush=True)
+    control_main("cylinder", RUNS, OUT_DIR)
 
 
 if __name__ == "__main__":

@@ -153,7 +153,7 @@ def aligned_mse(pred: np.ndarray, gt: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 # torch reference driver
 # ---------------------------------------------------------------------------
-def run_reference(hgn: bool) -> dict:
+def run_reference(hgn: bool, seed: int = 0) -> dict:
     import torch
 
     from tests.refbridge import load_reference
@@ -161,9 +161,11 @@ def run_reference(hgn: bool) -> dict:
     load_reference()
     from src.model.plate import PlateModel
 
-    torch.manual_seed(0)
-    np.random.seed(0)
-    random.seed(0)
+    # seed varies init + shuffle order; training noise stays seed-invariant
+    # because the reference loader reseeds np to 0 per epoch (graphloader.py:14)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    random.seed(seed)
 
     train, test = make_data()
     model = PlateModel(model_config(hgn))
@@ -251,14 +253,18 @@ def run_reference(hgn: bool) -> dict:
 # ---------------------------------------------------------------------------
 # our driver
 # ---------------------------------------------------------------------------
-def run_ours(hgn: bool) -> dict:
+def run_ours(hgn: bool, seed: int = 0, shipped: bool = False) -> dict:
     from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+    from tools.control_common import shipped_overrides
 
     train, test = make_data()
+    cfg = model_config(hgn)
+    if shipped:
+        cfg = shipped_overrides(cfg)
     params = {
         "task": {"dataset": "deforming_plate", "batch_size": 1},
-        "model": model_config(hgn),
-        "random_seed": 0,
+        "model": cfg,
+        "random_seed": seed,
     }
     sim = MeshSimulator(params, out_dir=os.path.join(OUT_DIR, "ours_tmp"))
     ts = sim.initialize()
@@ -292,32 +298,14 @@ def run_ours(hgn: bool) -> dict:
 
 
 RUNS = {
-    "ref-mgn": lambda: run_reference(False),
-    "ref-hgn": lambda: run_reference(True),
-    "ours-mgn": lambda: run_ours(False),
-    "ours-hgn": lambda: run_ours(True),
+    "ref-mgn": lambda seed, shipped: run_reference(False, seed),
+    "ref-hgn": lambda seed, shipped: run_reference(True, seed),
+    "ours-mgn": lambda seed, shipped: run_ours(False, seed, shipped),
+    "ours-hgn": lambda seed, shipped: run_ours(True, seed, shipped),
 }
 
 
-def main():
-    os.makedirs(OUT_DIR, exist_ok=True)
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    names = list(RUNS) if which == "all" else [which]
-    if any(n.startswith("ours") for n in names):
-        # accuracy control, not a speed benchmark: run on CPU (must happen
-        # before the backend initializes; the axon plugin ignores the env var)
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    for name in names:
-        print(f"=== control run: {name} ===", flush=True)
-        result = RUNS[name]()
-        result["run"] = name
-        path = os.path.join(OUT_DIR, f"CONTROL_{name}.json")
-        with open(path, "w") as f:
-            json.dump(result, f, indent=1)
-        print(f"wrote {path}", flush=True)
-
-
 if __name__ == "__main__":
-    main()
+    from tools.control_common import control_main
+
+    control_main("plate", RUNS, OUT_DIR)
