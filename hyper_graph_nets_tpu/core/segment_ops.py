@@ -231,6 +231,7 @@ def collective_aggregate(
     mask: Optional[Array] = None,
     axis_name: str = "graph",
     ring: bool = False,
+    mesh_axes=(),
 ) -> Array:
     """Edge-parallel aggregation under shard_map: local partials + collectives.
 
@@ -245,7 +246,8 @@ def collective_aggregate(
     """
     if ring:
         return _collective_aggregate_ring(
-            data, segment_ids, num_segments, aggregation, mask, axis_name
+            data, segment_ids, num_segments, aggregation, mask, axis_name,
+            mesh_axes,
         )
     if mask is not None:
         data_sum = data * mask[..., None]
@@ -292,10 +294,12 @@ def _collective_aggregate_ring(
     aggregation: str,
     mask: Optional[Array],
     axis_name: str,
+    mesh_axes=(),
 ) -> Array:
     """Ring-RDMA variant: local partials stacked into one payload, a single
     ring pass combines them (sum rows with add, max/min rows with max/min),
-    then the finished aggregates are assembled locally."""
+    then the finished aggregates are assembled locally.  ``mesh_axes``
+    (static ((name, size), ...)) is required on multi-axis meshes."""
     from hyper_graph_nets_tpu.ops.pallas.ring import ring_all_reduce_segments
 
     if data.ndim != 2:
@@ -306,7 +310,8 @@ def _collective_aggregate_ring(
     total = jax.ops.segment_sum(data_sum, segment_ids, n)
     if aggregation == "sum":
         out = ring_all_reduce_segments(
-            total.astype(jnp.float32), [(0, n, "sum")], axis_name
+            total.astype(jnp.float32), [(0, n, "sum")], axis_name,
+            mesh_axes=mesh_axes,
         )
         return out.astype(data.dtype)
 
@@ -325,7 +330,9 @@ def _collective_aggregate_ring(
         [total, counts, mx, mn], axis=0
     ).astype(jnp.float32)
     segments = [(0, n, "sum"), (n, 2 * n, "sum"), (2 * n, 3 * n, "max"), (3 * n, 4 * n, "min")]
-    combined = ring_all_reduce_segments(payload, segments, axis_name)
+    combined = ring_all_reduce_segments(
+        payload, segments, axis_name, mesh_axes=mesh_axes
+    )
     total = combined[:n]
     counts = combined[n : 2 * n]
     mx = jnp.where(combined[2 * n : 3 * n] <= _NEG_INF / 2, 0.0, combined[2 * n : 3 * n])

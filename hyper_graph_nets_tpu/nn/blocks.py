@@ -90,6 +90,15 @@ class GNNConfig:
     # with axis_name set: combine partials via the Pallas RDMA ring
     # (ops/pallas/ring.py) instead of XLA collectives
     halo_ring: bool = False
+    # with axis_name set + a band plan carrying ov_sched: ONE kernel fuses
+    # the chunked compute grid with the banded double-buffered ring, so a
+    # band's partials ride ICI while later chunks compute
+    # (ops/pallas/fused_overlap.py — compute-overlapped boundary exchange)
+    halo_overlap: bool = False
+    # static ((axis, size), ...) of the full mesh, in mesh order; required
+    # by the RDMA kernels on multi-axis meshes (logical ids are linearized
+    # mesh ids, so a ring must keep the other axes' coordinates fixed)
+    halo_mesh_axes: Tuple = ()
     # rematerialize each MP block in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for O(1) instead of O(mp_steps) activation
     # memory — enables deep processors on large meshes
@@ -341,11 +350,24 @@ def _fused_update_and_agg(
             cfg.spmd_mesh, cfg.spmd_axis,
         )
     elif cfg.axis_name is not None:
-        # shard_map edge partitioning (forward-only halo path): local
-        # kernel partials + psum/pmax/pmin over the mesh axis
-        e2, agg = fused_edge_block_collective(
-            feats, sp, rp, weights, es.band_plan, num_total, cfg.axis_name
-        )
+        if cfg.halo_overlap and es.band_plan.ov_sched is not None:
+            # compute-overlapped boundary exchange: one kernel runs the
+            # chunked compute AND the banded double-buffered RDMA ring
+            from hyper_graph_nets_tpu.ops.pallas.fused_overlap import (
+                fused_edge_block_collective_overlap,
+            )
+
+            e2, agg = fused_edge_block_collective_overlap(
+                feats, sp, rp, weights, es.band_plan, num_total,
+                cfg.axis_name, mesh_axes=cfg.halo_mesh_axes,
+            )
+        else:
+            # shard_map edge partitioning (forward-only halo path): local
+            # kernel partials + psum/pmax/pmin over the mesh axis
+            e2, agg = fused_edge_block_collective(
+                feats, sp, rp, weights, es.band_plan, num_total,
+                cfg.axis_name,
+            )
     elif (
         cfg.fused_fwd == "xla"
         and es.gather_idx is not None
@@ -437,6 +459,7 @@ def _aggregate_sets(
                 collective_aggregate(
                     edge_feats[name], es.receivers, num_total, cfg.aggregation,
                     es.mask, cfg.axis_name, ring=cfg.halo_ring,
+                    mesh_axes=cfg.halo_mesh_axes,
                 )
             )
             continue

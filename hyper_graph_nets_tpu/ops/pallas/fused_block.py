@@ -40,7 +40,7 @@ gradients as large dense matmuls.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -107,6 +107,10 @@ class BandPlan(NamedTuple):
     wr_tag: Array  # [WR, 0] uint8 (shape-only)
     s_tag: Array  # [scan_steps, 0] uint8 (shape-only)
     nr_tag: Array  # [max window end, 0] uint8 (shape-only; see plan_node_rows)
+    # overlapped halo exchange (ops/pallas/fused_overlap): per-row-band ring
+    # start schedule, [1, NB] int32, IDENTICAL on every shard (host max of
+    # per-shard band completion chunks).  None on single-device plans.
+    ov_sched: Optional[Array] = None
 
     @property
     def T(self) -> int:
@@ -1224,6 +1228,8 @@ def build_sharded_band_plans(
     num_shards: int,
     num_valid: Optional[int] = None,
     chunk: Optional[int] = None,
+    overlap_bands: Optional[int] = None,
+    shard_num_valid: Optional[Sequence[int]] = None,
 ) -> BandPlan:
     """Stacked per-shard band plans for an edge-sharded receiver-sorted set.
 
@@ -1238,6 +1244,10 @@ def build_sharded_band_plans(
     single-device BandPlan, which is what the kernel sees inside
     shard_map).  NB: the stacked object's ``C`` property reads the global
     leading axis — it is only meaningful *inside* shard_map.
+
+    ``overlap_bands``: also attach the per-row-band ring schedule for the
+    compute-overlapped halo exchange (``ov_sched``; see
+    ops/pallas/fused_overlap.py) with that many node-row bands.
     """
     snd = np.asarray(senders)
     rcv = np.asarray(receivers)
@@ -1250,11 +1260,18 @@ def build_sharded_band_plans(
 
     def shard_plan(s, force=None):
         lo = s * per
+        # contiguous slices: validity is a global prefix; permuted layouts
+        # (chunk round-robin for the overlap path) pass per-shard counts
+        nv = (
+            int(np.clip(ev - lo, 0, per))
+            if shard_num_valid is None
+            else int(shard_num_valid[s])
+        )
         return build_band_plan(
             snd[lo : lo + per],
             rcv[lo : lo + per],
             num_nodes,
-            num_valid=int(np.clip(ev - lo, 0, per)),
+            num_valid=nv,
             chunk=chunk,
             force_dims=force,
         )
@@ -1267,6 +1284,15 @@ def build_sharded_band_plans(
         max(p.nr_tag.shape[0] for p in first),
     )
     plans = [shard_plan(s, force=dims) for s in range(num_shards)]
+    ov_sched = None
+    if overlap_bands:
+        from hyper_graph_nets_tpu.ops.pallas.fused_overlap import (
+            build_overlap_schedule,
+        )
+
+        ov_sched = build_overlap_schedule(
+            plans, num_nodes, num_shards, n_bands=overlap_bands
+        )
     cat = lambda get: jnp.concatenate([get(p) for p in plans], axis=0)
     return BandPlan(
         w_s=cat(lambda p: p.w_s),
@@ -1280,12 +1306,14 @@ def build_sharded_band_plans(
         wr_tag=plans[0].wr_tag,
         s_tag=plans[0].s_tag,
         nr_tag=plans[0].nr_tag,
+        ov_sched=ov_sched,
     )
 
 
-def band_plan_specs(P) -> BandPlan:
+def band_plan_specs(P, plan: Optional[BandPlan] = None) -> BandPlan:
     """PartitionSpec pytree for a stacked sharded plan (leading axis =
-    'graph'); the shape-tag arrays stay replicated."""
+    'graph'); the shape-tag arrays stay replicated.  Pass the plan to
+    match its optional fields (``ov_sched`` is replicated when present)."""
     return BandPlan(
         w_s=P("graph", None),
         r_lo=P("graph", None),
@@ -1298,6 +1326,9 @@ def band_plan_specs(P) -> BandPlan:
         wr_tag=P(None, None),
         s_tag=P(None, None),
         nr_tag=P(None, None),
+        ov_sched=(
+            None if plan is None or plan.ov_sched is None else P(None, None)
+        ),
     )
 
 
@@ -1415,7 +1446,7 @@ def _spmd_fwd(e, sp, rp, weights, plan, num_nodes, mesh, axis_name, interpret):
             P(),  # node parts replicated
             P(),
             P(),  # weights replicated
-            band_plan_specs(P),  # stacked plan -> local view
+            band_plan_specs(P, plan),  # stacked plan -> local view
         ),
         out_specs=(P(axis_name), P()),
         check_vma=False,
@@ -1466,7 +1497,7 @@ def _spmd_bwd(num_nodes, mesh, axis_name, interpret, res, g):
         body,
         mesh=mesh,
         in_specs=(
-            P(axis_name), P(), P(), P(), band_plan_specs(P),
+            P(axis_name), P(), P(), P(), band_plan_specs(P, plan),
             P(),  # saved global aggregate (replicated)
             P(axis_name),  # de2 cotangent (edge-sharded)
             P(),  # dagg cotangent (one global array from the GSPMD consumer)

@@ -35,14 +35,17 @@ def ring_all_reduce_segments(
     segments: Sequence[Tuple[int, int, str]],
     axis_name: str,
     interpret: bool | None = None,
+    mesh_axes=(),
 ) -> Array:
     """All-reduce ``x`` over ``axis_name`` with per-row-segment combine ops.
 
     ``x``: the device-local partial, shape [R, C]; must be identical-shape on
     every device of the axis.  ``segments``: static (row_lo, row_hi, op)
     triples covering rows, op in {sum, max, min}.  Must be called inside
-    ``shard_map`` over a mesh containing ``axis_name``.  Returns the
-    combined array (identical on every device).
+    ``shard_map`` over a mesh containing ``axis_name``.  On a multi-axis
+    mesh, pass ``mesh_axes`` = static ((name, size), ...) in mesh order so
+    the ring's logical device ids keep the other axes' coordinates fixed.
+    Returns the combined array (identical on every device).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -55,10 +58,14 @@ def ring_all_reduce_segments(
             raise ValueError(f"unknown combine op {op!r}")
 
     def kernel(in_ref, out_ref, comm, send_sem, recv_sem):
-        my_id = jax.lax.axis_index(axis_name)
+        from hyper_graph_nets_tpu.ops.pallas.fused_overlap import (
+            _mesh_neighbors,
+        )
+
         n = jax.lax.axis_size(axis_name)
-        right = jax.lax.rem(my_id + 1, n)
-        left = jax.lax.rem(my_id + n - 1, n)
+        # logical ids are linearized mesh ids: on multi-axis meshes the
+        # ring must keep the other axes' coordinates fixed (mesh_axes)
+        left, right = _mesh_neighbors(axis_name, mesh_axes)
         out_ref[:] = in_ref[:]
         comm[0] = in_ref[:]
 

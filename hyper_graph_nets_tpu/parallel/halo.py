@@ -44,7 +44,8 @@ def graph_partition_specs(graph: Graph) -> Graph:
             gather_valid=None,
             # stacked sharded band plan: leading axis over 'graph', so
             # each device sees its local plan (fused halo forward)
-            band_plan=None if es.band_plan is None else band_plan_specs(P),
+            band_plan=(None if es.band_plan is None
+                       else band_plan_specs(P, es.band_plan)),
         )
     return Graph(
         node_features=P(),
@@ -65,7 +66,9 @@ def strip_gather(graph: Graph) -> Graph:
     )
 
 
-def make_halo_forward(model: SystemModel, mesh: Mesh, ring: bool = False):
+def make_halo_forward(
+    model: SystemModel, mesh: Mesh, ring: bool = False, overlap: bool = False
+):
     """Build a shard_map forward: fn(params, graph) -> [N, out].
 
     ``graph`` must have edge counts divisible by the 'graph' axis size (pad
@@ -73,10 +76,18 @@ def make_halo_forward(model: SystemModel, mesh: Mesh, ring: bool = False):
     combines aggregation partials with the Pallas RDMA ring
     (ops/pallas/ring.py) instead of XLA psum/pmax/pmin — the explicit
     compute/communication schedule; on non-TPU backends the ring runs in
-    Pallas interpret mode.
+    Pallas interpret mode.  ``overlap=True`` goes one step further for
+    fused band-plan edge sets whose stacked plan carries ``ov_sched``
+    (shard_topology(..., overlap_bands=...)): compute and the banded
+    double-buffered ring run in ONE kernel, so a band's partials are in
+    flight while later chunks compute (ops/pallas/fused_overlap.py).
     """
     cfg = dataclasses.replace(
-        model.gnn_config, axis_name="graph", halo_ring=ring
+        model.gnn_config,
+        axis_name="graph",
+        halo_ring=ring,
+        halo_overlap=overlap,
+        halo_mesh_axes=tuple((a, mesh.shape[a]) for a in mesh.axis_names),
     )
 
     def local_forward(params, graph):

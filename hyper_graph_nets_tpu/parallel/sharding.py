@@ -59,7 +59,10 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, pad_value=0) -> np.ndarray:
 
 
 def shard_topology(
-    topo: Topology, mesh: Mesh, band_plans: Optional[bool] = None
+    topo: Topology,
+    mesh: Mesh,
+    band_plans: Optional[bool] = None,
+    overlap_bands: Optional[int] = None,
 ) -> Topology:
     """Pad edges to a multiple of the graph axis and device_put sharded.
 
@@ -76,12 +79,39 @@ def shard_topology(
     """
     g = mesh.shape["graph"]
     n_valid = len(topo.senders)
-    senders = pad_to_multiple(topo.senders, g, pad_value=0)
-    receivers = pad_to_multiple(topo.receivers, g, pad_value=topo.num_nodes - 1)
-    mask = np.zeros(len(senders), np.float32)
-    mask[:n_valid] = 1.0
     if band_plans is None:
         band_plans = topo.band_plan is not None
+    use_overlap = bool(
+        overlap_bands and band_plans and topo.band_plan is not None
+    )
+    if use_overlap:
+        # the overlap schedule needs every shard to walk the whole
+        # receiver range (chunk round-robin); pad to chunk*g first
+        from hyper_graph_nets_tpu.ops.pallas.fused_block import default_chunk
+
+        chunk = default_chunk()
+        senders = pad_to_multiple(topo.senders, chunk * g, pad_value=0)
+        receivers = pad_to_multiple(
+            topo.receivers, chunk * g, pad_value=topo.num_nodes - 1
+        )
+    else:
+        senders = pad_to_multiple(topo.senders, g, pad_value=0)
+        receivers = pad_to_multiple(
+            topo.receivers, g, pad_value=topo.num_nodes - 1
+        )
+    mask = np.zeros(len(senders), np.float32)
+    mask[:n_valid] = 1.0
+    shard_num_valid = None
+    if use_overlap:
+        from hyper_graph_nets_tpu.ops.pallas.fused_overlap import (
+            chunk_roundrobin_permutation,
+        )
+
+        perm = chunk_roundrobin_permutation(len(senders), g, chunk)
+        senders, receivers, mask = senders[perm], receivers[perm], mask[perm]
+        shard_num_valid = (
+            mask.reshape(g, -1).sum(axis=1).astype(np.int64).tolist()
+        )
     band_plan = None
     if band_plans and topo.band_plan is not None:
         from hyper_graph_nets_tpu.ops.pallas.fused_block import (
@@ -89,7 +119,8 @@ def shard_topology(
         )
 
         band_plan = build_sharded_band_plans(
-            senders, receivers, topo.num_nodes, g, num_valid=n_valid
+            senders, receivers, topo.num_nodes, g, num_valid=n_valid,
+            overlap_bands=overlap_bands, shard_num_valid=shard_num_valid,
         )
     sharding = NamedSharding(mesh, P("graph"))
     # NB: no gather matrix here — with edges sharded over 'graph', scatter
@@ -139,7 +170,7 @@ def constrain_graph(graph: Graph, mesh: Mesh) -> Graph:
                 band_plan_specs,
             )
 
-            band_plan = jax.tree.map(c, band_plan, band_plan_specs(P))
+            band_plan = jax.tree.map(c, band_plan, band_plan_specs(P, band_plan))
         new_sets[name] = EdgeSet(
             features=c(es.features, edge_feat_spec),
             senders=c(es.senders, idx_spec),
