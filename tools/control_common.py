@@ -59,9 +59,14 @@ def shipped_overrides(model_cfg: dict) -> dict:
 def result_path(out_dir: str, system: str, run: str, seed: int,
                 shipped: bool) -> str:
     legacy = "" if system == "plate" else f"{system}_"
-    if seed == 0 and not shipped:
+    # large-mesh tier etc. set CONTROL_TAG so results never collide with
+    # the default-protocol files
+    extra = os.environ.get("CONTROL_TAG", "")
+    if extra:
+        extra = f"_{extra}"
+    if seed == 0 and not shipped and not extra:
         return os.path.join(out_dir, f"CONTROL_{legacy}{run}.json")
-    tag = f"_s{seed}" + ("_shipped" if shipped else "")
+    tag = f"_s{seed}" + ("_shipped" if shipped else "") + extra
     return os.path.join(out_dir, f"CONTROL_{legacy}{run}{tag}.json")
 
 

@@ -42,11 +42,14 @@ sys.path.insert(0, REPO)
 OUT_DIR = os.path.join(REPO, "control_out")
 
 # ---- protocol ------------------------------------------------------------
-NX = NY = 12          # 144 plate + 9 obstacle nodes
-T_RAW = 50            # raw steps -> 48 windowed frames
-N_TRAIN = 12
+# defaults = the round-2 protocol; the CONTROL_* env vars select the
+# large-mesh tier (>=1k nodes; see tools/run_controls_r3.sh and
+# BENCHMARKS.md "controlled accuracy") without forking the script
+NX = NY = int(os.environ.get("CONTROL_NX", 12))  # 12 -> 144+9 nodes
+T_RAW = int(os.environ.get("CONTROL_T", 50))     # raw steps (48 frames)
+N_TRAIN = int(os.environ.get("CONTROL_NTRAIN", 12))
 N_TEST = 3
-EPOCHS = 10
+EPOCHS = int(os.environ.get("CONTROL_EPOCHS", 10))
 LR = 1e-4
 NOISE = 0.003
 GAMMA = 1.0
