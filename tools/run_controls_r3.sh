@@ -42,5 +42,30 @@ case "$1" in
     '
     echo "[queue] cpu queue done"
     ;;
-  *) echo "usage: $0 <tpu|cpu>"; exit 2;;
+  big)
+    # large-mesh tier (VERDICT item 5 "meshes >= 1k nodes"): plate at
+    # NX=32 (1024 plate nodes + obstacle), 4 epochs, 6 train trajs.
+    # ours on TPU (shipped numerics, 3 seeds - cheap there); reference
+    # torch-CPU at 1 seed (~105 s/epoch MGN; HGN per probe log).
+    export CONTROL_NX=32 CONTROL_T=30 CONTROL_NTRAIN=6 CONTROL_EPOCHS=4
+    export CONTROL_TAG=big
+    for run in ours-mgn ours-hgn; do
+      for seed in 0 1 2; do
+        log="control_out/logs/plate_${run}_s${seed}_shipped_big.log"
+        echo "[queue] big plate $run seed=$seed shipped -> $log"
+        timeout 3000 python tools/control_plate.py "$run" \
+          --seed "$seed" --shipped >"$log" 2>&1 \
+          || echo "[queue] FAILED rc=$? big $run s$seed" | tee -a "$log"
+      done
+    done
+    for run in ref-mgn ref-hgn; do
+      log="control_out/logs/plate_${run}_s0_big.log"
+      echo "[queue] big plate $run seed=0 -> $log"
+      OMP_NUM_THREADS=4 timeout 5400 python tools/control_plate.py "$run" \
+        --seed 0 >"$log" 2>&1 \
+        || echo "[queue] FAILED rc=$? big $run s0" | tee -a "$log"
+    done
+    echo "[queue] big queue done"
+    ;;
+  *) echo "usage: $0 <tpu|cpu|big>"; exit 2;;
 esac
