@@ -115,6 +115,9 @@ def main():
                 )
     base = next((r for r in rows if r.get("devices") == 1 and "edges_per_s" in r), None)
     for r in rows:
+        # make single-chip runs unmistakable downstream: this row is NOT a
+        # multi-chip scaling result unless devices_attached > 1
+        r["devices_attached"] = n
         if base and "edges_per_s" in r:
             r["scaling_efficiency"] = round(
                 r["edges_per_s"] / (r["devices"] * base["edges_per_s"]), 3
