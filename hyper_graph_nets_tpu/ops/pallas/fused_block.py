@@ -1411,27 +1411,43 @@ def _spmd_fwd(e, sp, rp, weights, plan, num_nodes, mesh, axis_name, interpret):
     from jax.sharding import PartitionSpec as P
 
     L = e.shape[-1]
+    mesh_axes = tuple((a, mesh.shape[a]) for a in mesh.axis_names)
 
     def body(e_l, sp_l, rp_l, w, plan_l):
         squeeze, E_loc, e_pad, sp_pad, rp_pad = _spmd_prep(
             e_l, sp_l, rp_l, plan_l, num_nodes
         )
-        e2, raw = _fwd_call(
-            e_pad, sp_pad, rp_pad, w, plan_l, interpret, finalize=False
-        )
-        s = jax.lax.psum(raw[..., :L], axis_name)
-        n = jax.lax.psum(raw[..., L : 2 * L], axis_name)
-        mx = jax.lax.pmax(raw[..., 2 * L : 3 * L], axis_name)
-        mn = jax.lax.pmin(raw[..., 3 * L :], axis_name)
-        agg = jnp.concatenate(
-            [
-                s,
-                s / jnp.maximum(n, 1.0),
-                jnp.where(mx <= -_BIG / 2, 0.0, mx),
-                jnp.where(mn >= _BIG / 2, 0.0, mn),
-            ],
-            axis=-1,
-        )
+        if plan_l.ov_sched is not None:
+            # compute-overlapped path: ONE kernel runs the compute grid and
+            # the banded RDMA ring (band partials ride ICI while later
+            # chunks compute) — the stacked plan was built with
+            # overlap_bands (chunk-round-robin edge sharding); returns the
+            # finalized global aggregate directly
+            from hyper_graph_nets_tpu.ops.pallas.fused_overlap import (
+                _overlap_fwd_call,
+            )
+
+            e2, agg = _overlap_fwd_call(
+                e_pad, sp_pad, rp_pad, w, plan_l, num_nodes, axis_name,
+                interpret, mesh_axes,
+            )
+        else:
+            e2, raw = _fwd_call(
+                e_pad, sp_pad, rp_pad, w, plan_l, interpret, finalize=False
+            )
+            s = jax.lax.psum(raw[..., :L], axis_name)
+            n = jax.lax.psum(raw[..., L : 2 * L], axis_name)
+            mx = jax.lax.pmax(raw[..., 2 * L : 3 * L], axis_name)
+            mn = jax.lax.pmin(raw[..., 3 * L :], axis_name)
+            agg = jnp.concatenate(
+                [
+                    s,
+                    s / jnp.maximum(n, 1.0),
+                    jnp.where(mx <= -_BIG / 2, 0.0, mx),
+                    jnp.where(mn >= _BIG / 2, 0.0, mn),
+                ],
+                axis=-1,
+            )
         e2 = e2[:, :E_loc]
         agg = agg[:, :num_nodes]
         if squeeze:

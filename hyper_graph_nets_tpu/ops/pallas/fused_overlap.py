@@ -222,6 +222,12 @@ def _overlap_kernel(
     if n > 1:
         left, right = _mesh_neighbors(axis_name, mesh_axes)
 
+        # one barrier per BATCH ROW (c == 0 fires at every program_id(0)):
+        # besides the launch-ordering role, for rows >= 1 it is the
+        # correctness fence that stops a fast device's row-r hop-1 RDMA
+        # from landing in a neighbor's comm slot the neighbor is still
+        # reading in row r-1 (a device only signals row r's barrier after
+        # its row r-1 ring fully drained, by grid order)
         @pl.when(c == 0)
         def _barrier():
             # no RDMA before both neighbors' kernels have launched
@@ -320,6 +326,28 @@ def fused_edge_block_collective_overlap(
     device ids keep the other axes' coordinates fixed
     (nn/blocks.GNNConfig.halo_mesh_axes plumbs it).
     """
+    e2, agg = _overlap_fwd_call(
+        e[None], sp[None], rp[None], weights, plan, num_nodes, axis_name,
+        interpret, mesh_axes,
+    )
+    E = e.shape[-2]
+    return e2[0, :E], agg[0, :num_nodes]
+
+
+def _overlap_fwd_call(
+    e3: Array,  # [B, E_local, L]
+    sp3: Array,  # [B, N, L]
+    rp3: Array,
+    weights: dict,
+    plan: BandPlan,
+    num_nodes: int,
+    axis_name: str,
+    interpret: Optional[bool] = None,
+    mesh_axes=(),
+) -> Tuple[Array, Array]:
+    """Batched core: grid (B, G); each batch row runs its own ring pass,
+    fenced by the per-row neighbor barrier.  Returns padded
+    ([B, E_pad, L], [B, NB*RB, 4L]) with agg FINALIZED."""
     if plan.ov_sched is None:
         raise ValueError(
             "overlap halo needs a plan built with overlap_bands "
@@ -337,14 +365,12 @@ def fused_edge_block_collective_overlap(
         # no such constraint (DMAs progress independently of the core).
         interpret = pltpu.InterpretParams()
     n = jax.lax.axis_size(axis_name)
-    E, L = e.shape[-2], e.shape[-1]
+    B, _, L = e3.shape
     NB = plan.ov_sched.shape[1]
     _, RB = band_dims(plan, num_nodes, NB)
     nr_pad = NB * RB
     weights = _edge_weights(weights)
-    e_pad, sp_pad, rp_pad = _pad_to_plan(
-        e[None], sp[None], rp[None], plan, num_nodes
-    )
+    e_pad, sp_pad, rp_pad = _pad_to_plan(e3, sp3, rp3, plan, num_nodes)
     extra = nr_pad - sp_pad.shape[1]
     if extra:
         sp_pad = jnp.pad(sp_pad, ((0, 0), (0, extra), (0, 0)))
@@ -364,10 +390,10 @@ def fused_edge_block_collective_overlap(
     e2, agg = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((1, E_pad, L), e_pad.dtype),
-            jax.ShapeDtypeStruct((1, nr_pad, 4 * L), jnp.float32),
+            jax.ShapeDtypeStruct((B, E_pad, L), e_pad.dtype),
+            jax.ShapeDtypeStruct((B, nr_pad, 4 * L), jnp.float32),
         ),
-        grid=(1, G),
+        grid=(B, G),
         in_specs=[
             pl.BlockSpec((1, NB), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
@@ -422,4 +448,4 @@ def fused_edge_block_collective_overlap(
         row(weights["lns"]),
         row(weights["lnb"]),
     )
-    return e2[0, :E], agg[0, :num_nodes]
+    return e2, agg
