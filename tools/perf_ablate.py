@@ -137,7 +137,9 @@ def main():
     results["graph_build_only"] = timeit(build_only, mstate, frames)
 
     # --- aggregation variants: scatter vs gather --------------------------
-    p2, _, m2, topo2, tr2, ts2, fr2 = setup()
+    # agg_vjp=xla (not fused): stripping the gather matrix must actually
+    # select the masked-scatter path, not the band-plan kernel
+    p2, _, m2, topo2, tr2, ts2, fr2 = setup(agg_vjp="xla")
     topo_nog = topo2._replace(gather_idx=None, gather_valid=None)
     step2 = tr2.make_train_step(topo_nog)
 
