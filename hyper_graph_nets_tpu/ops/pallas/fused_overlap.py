@@ -425,8 +425,10 @@ def _overlap_fwd_call(
             pltpu.SemaphoreType.REGULAR((NB, 2)),
         ],
         interpret=interpret,
+        # collective_id only with a ring: Mosaic rejects it when the kernel
+        # uses no barrier semaphore (the n == 1 degenerate path)
         compiler_params=pltpu.CompilerParams(
-            collective_id=1, has_side_effects=True
+            collective_id=1 if n > 1 else None, has_side_effects=True
         ),
     )(
         plan.ov_sched,
