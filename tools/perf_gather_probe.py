@@ -44,6 +44,16 @@ def _take_kernel(idx_ref, win_ref, out_ref, *, W):
     out_ref[...] = jnp.take(win_ref[...], idx_ref[...], axis=0)
 
 
+def _take_same_shape_kernel(idx_ref, win_ref, out_ref, *, W):
+    # the only gather form this jax/Mosaic build's lowering rule accepts
+    # (indices shaped like the INPUT): gather all W rows, use the first T.
+    # Round-3 result: passes lowering but crashes the v5e remote-compile
+    # helper (ROADMAP 5c) — keep probing on toolchain updates.
+    T = out_ref.shape[0]
+    idx = jnp.broadcast_to(idx_ref[...].reshape(W, 1), (W, L))
+    out_ref[...] = jnp.take_along_axis(win_ref[...], idx, axis=0)[:T]
+
+
 def _call(kernel, idx, win, W, reps):
     T = idx.shape[0]
     fn = pl.pallas_call(
@@ -67,16 +77,24 @@ def main():
     reps = 100
     for T, W in [(512, 512), (512, 1024), (512, 2048)]:
         idx = jnp.asarray(rng.randint(0, W, T), jnp.int32)
+        idx_full = jnp.concatenate(
+            [idx, jnp.zeros(W - T, jnp.int32)]
+        ) if W > T else idx[:W]
         win = jnp.asarray(rng.randn(W, L), jnp.bfloat16)
         rows = {}
         ref = None
-        for name, kern in [("onehot", _onehot_kernel), ("take", _take_kernel)]:
+        for name, kern in [
+            ("onehot", _onehot_kernel),
+            ("take", _take_kernel),
+            ("take_same_shape", _take_same_shape_kernel),
+        ]:
             try:
-                f = _call(kern, idx, win, W, reps)
-                out = f(idx, win)
+                use_idx = idx_full if name == "take_same_shape" else idx
+                f = _call(kern, use_idx, win, W, reps)
+                out = f(use_idx, win)
                 out = np.asarray(out, np.float32)  # force sync
                 t0 = time.time()
-                out = np.asarray(f(idx, win), np.float32)
+                out = np.asarray(f(use_idx, win), np.float32)
                 dt = (time.time() - t0) / reps
                 if ref is None:
                     ref = out
