@@ -43,6 +43,17 @@ import numpy as np
 os.environ.setdefault(
     "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=32768"
 )
+# persistent compilation cache: the axon remote-compile helper takes
+# 100-200 s per fused-kernel executable through the tunnel; caching
+# compiles on disk makes repeat bench runs (the driver re-runs this
+# script on unchanged code) skip them entirely (measured 14.6 s -> 0.3 s
+# on a probe jit).  Harmless when cold.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 MP_STEPS = 15
 BATCH = 21

@@ -96,11 +96,18 @@ class BandPlan(NamedTuple):
     the Graph pytree (zero-size ``*_tag`` arrays carry W / WR / scan_steps).
     """
 
-    w_s: Array  # [1, C] int32: per-chunk sender-window start (16-aligned)
+    w_s: Array  # [SB, C] int32: per-SUBCHUNK sender-window start (16-aligned).
+    #   SB sender subwindows per chunk (T/SB edges each): the sender gather
+    #   one-hot matmul FLOPs are 2*T*W*L regardless of SB, so SB is chosen
+    #   (``_best_sb``) as the smallest split that minimizes W — on banded
+    #   meshes a 512-edge chunk needs W=256 while its 128-edge quarters each
+    #   fit W=128, halving the dominant gather FLOPs.
     r_lo: Array  # [1, C] int32: per-chunk receiver-window start (8-aligned)
-    snd_col: Array  # [C, T, 1] int32: window-local sender ids (sentinel W)
+    snd_col: Array  # [C, T, 1] int32: SUBWINDOW-local sender ids (sentinel W)
     rcv_col: Array  # [C, T, 1] int32: window-local receiver ids (sentinel WR)
-    snd_row: Array  # [C, 1, T] int32: sender ids, row layout (bwd one-hots)
+    snd_row: Array  # [C, SB, Ts] int32: SUBWINDOW-local sender ids, row
+    #   layout (bwd one-hots); subchunk j is sublane row j (lane slicing
+    #   at subchunk offsets is avoided — Mosaic handles sublane slices)
     rcv_row: Array  # [C, 1, T] int32: receiver ids, row layout
     m_col: Array  # [C, T, 1] f32: edge validity mask
     w_tag: Array  # [W, 0] uint8 (shape-only)
@@ -131,6 +138,38 @@ class BandPlan(NamedTuple):
     @property
     def scan_steps(self) -> int:
         return self.s_tag.shape[0]
+
+    @property
+    def SB(self) -> int:
+        return self.w_s.shape[0]
+
+
+def _sb_candidates(chunk: int) -> Tuple[int, ...]:
+    """Sender-subwindow split candidates: T/SB must stay a multiple of 128
+    (sublane-dim cleanliness for the [T/SB, W] one-hots)."""
+    return tuple(sb for sb in (1, 2, 4, 8) if chunk % sb == 0
+                 and (chunk // sb) % 128 == 0)
+
+
+def _sender_W(snd, rcv, ev, chunk: int, sb: int) -> int:
+    """Max 16-aligned sender-window width at subchunk granularity T/sb."""
+    ts = chunk // sb
+    return max(
+        (w for *_, w, _ in _chunk_windows(snd, rcv, ev, ts)), default=128
+    )
+
+
+def _best_sb(snd, rcv, ev, chunk: int) -> int:
+    """Smallest subwindow split minimizing the sender window W.
+
+    Gather FLOPs are 2*T*W*L independent of SB, so only a strictly
+    smaller W justifies splitting."""
+    best_sb, best_w = 1, None
+    for sb in _sb_candidates(chunk):
+        w = _sender_W(snd, rcv, ev, chunk, sb)
+        if best_w is None or w < best_w:
+            best_sb, best_w = sb, w
+    return best_sb
 
 
 def _chunk_windows(snd, rcv, ev, chunk):
@@ -182,7 +221,8 @@ def build_band_plan(
     num_valid: Optional[int] = None,
     chunk: int = T_DEFAULT,
     max_window: int = 2048,
-    force_dims: Optional[Tuple[int, int, int, int]] = None,
+    force_dims: Optional[Tuple[int, ...]] = None,
+    sb: Optional[int] = None,
 ) -> BandPlan:
     """Host: static banded-window plan for a receiver-sorted edge set.
 
@@ -191,9 +231,12 @@ def build_band_plan(
     ``max_window`` (caller falls back to the unfused path; apply
     ``ops.reorder.rcm_order`` first for general meshes).
 
-    ``force_dims`` = (W, WR, scan_steps, nr) lower-bounds the static
+    ``force_dims`` = (W, WR, scan_steps, nr[, sb]) lower-bounds the static
     dimensions — used to build per-shard plans with identical shapes so
-    they stack across an edge-sharded mesh (build_sharded_band_plans).
+    they stack across an edge-sharded mesh (build_sharded_band_plans) and
+    to keep plan shapes stable across reclusters (rmp).
+
+    ``sb``: sender subwindows per chunk (default: auto via ``_best_sb``).
     """
     snd = np.asarray(senders, np.int64)
     rcv = np.asarray(receivers, np.int64)
@@ -206,44 +249,65 @@ def build_band_plan(
     mask = np.zeros(E_pad, np.float32)
     mask[:ev] = 1.0
 
-    w_s = np.zeros(C, np.int32)
+    if force_dims is not None and len(force_dims) >= 5:
+        sb = int(force_dims[4])
+    if sb is None:
+        sb = _best_sb(snd, rcv, ev, chunk)
+    if chunk % sb:
+        raise ValueError(f"sb={sb} does not divide chunk={chunk}")
+    ts = chunk // sb
+
     r_lo = np.zeros(C, np.int32)
-    snd_loc = np.zeros(E_pad, np.int32)
     rcv_loc = np.zeros(E_pad, np.int32)
-    W = WR = 128
+    WR = 128
     seg_max = 1
     for c, sl, ws, rl, w_need, wr_need in _chunk_windows(snd, rcv, ev, chunk):
-        if w_need > max_window or wr_need > max_window:
+        if wr_need > max_window:
             raise ValueError(
-                f"chunk {c}: window {max(w_need, wr_need)} exceeds "
+                f"chunk {c}: receiver window {wr_need} exceeds "
                 f"max_window={max_window}; reorder the mesh (rcm_order)"
             )
-        cs, cr = snd[sl], rcv[sl]
-        W = max(W, w_need)
+        cr = rcv[sl]
         WR = max(WR, wr_need)
-        w_s[c] = ws
         r_lo[c] = rl
-        snd_loc[sl] = cs - ws
         rcv_loc[sl] = cr - rl
         runs = np.diff(np.flatnonzero(np.r_[True, np.diff(cr) != 0, True]))
         seg_max = max(seg_max, int(runs.max()))
+
+    # sender subwindows at granularity ts = chunk/sb
+    w_s = np.zeros(C * sb, np.int32)
+    snd_loc = np.zeros(E_pad, np.int32)
+    W = 128
+    for c, sl, ws, rl, w_need, wr_need in _chunk_windows(snd, rcv, ev, ts):
+        if w_need > max_window:
+            raise ValueError(
+                f"subchunk {c}: sender window {w_need} exceeds "
+                f"max_window={max_window}; reorder the mesh (rcm_order)"
+            )
+        cs = snd[sl]
+        W = max(W, w_need)
+        w_s[c] = ws
+        snd_loc[sl] = cs - ws
+
     steps = 0
     while (1 << steps) < min(seg_max, chunk):
         steps += 1
     nr_need = max(int(w_s.max()) + W, int(r_lo.max()) + WR)
     if force_dims is not None:
-        fw, fwr, fsteps, fnr = force_dims
+        fw, fwr, fsteps, fnr = force_dims[:4]
         W, WR = max(W, fw), max(WR, fwr)
         steps, nr_need = max(steps, fsteps), max(nr_need, fnr)
     # sentinels: padded edges select no window row and no agg row
     snd_loc[mask == 0] = W
     rcv_loc[mask == 0] = WR
     return BandPlan(
-        w_s=jnp.asarray(w_s).reshape(1, C),
+        # [C*sb] global subchunk order -> [SB, C] so ws_ref[j, c] is
+        # subchunk j of chunk c
+        w_s=jnp.asarray(w_s.reshape(C, sb).T.copy()),
         r_lo=jnp.asarray(r_lo).reshape(1, C),
         snd_col=jnp.asarray(snd_loc.reshape(C, chunk, 1)),
         rcv_col=jnp.asarray(rcv_loc.reshape(C, chunk, 1)),
-        snd_row=jnp.asarray(snd_loc.reshape(C, 1, chunk)),
+        snd_row=jnp.asarray(snd_loc.reshape(C, sb, ts)),
         rcv_row=jnp.asarray(rcv_loc.reshape(C, 1, chunk)),
         m_col=jnp.asarray(mask.reshape(C, chunk, 1)),
         w_tag=jnp.zeros((W, 0), jnp.uint8),
@@ -331,7 +395,9 @@ def _fwd_kernel(
         )
         agg_ref[:, :, 3 * L :] = jnp.full_like(agg_ref[:, :, 3 * L :], _BIG)
 
-    ws = pl.multiple_of(ws_ref[0, c], 16)
+    SB = ws_ref.shape[0]
+    Ts = Tc // SB
+    ws_j = [pl.multiple_of(ws_ref[j, c], 16) for j in range(SB)]
     rlo = pl.multiple_of(rlo_ref[0, c], 8)
 
     snd_col = sndT_ref[0]  # [T, 1]
@@ -339,22 +405,36 @@ def _fwd_kernel(
     m_col = mT_ref[0]  # [T, 1] f32
 
     # --- banded one-hot gathers (exact: one-hot x bf16, f32 accumulate);
-    # the one-hots are topology-derived, shared by all PB batch elements
-    oh_s = (
-        jax.lax.broadcasted_iota(jnp.int32, (Tc, W), 1) == snd_col
-    ).astype(cdt)
+    # the one-hots are topology-derived, shared by all PB batch elements.
+    # The sender side runs per SUBWINDOW ([Ts, W] one-hots against the
+    # subchunk's own 16-aligned window): FLOPs are 2*T*W*L either way, but
+    # subwindows let the host plan halve W on banded meshes.
+    oh_s = [
+        (
+            jax.lax.broadcasted_iota(jnp.int32, (Ts, W), 1)
+            == snd_col[j * Ts : (j + 1) * Ts]
+        ).astype(cdt)
+        for j in range(SB)
+    ]
     oh_r = (
         jax.lax.broadcasted_iota(jnp.int32, (Tc, WR), 1) == rcv_col
     ).astype(cdt)
     sp_parts = []
     rp_parts = []
     for i in range(PB):
-        spw = sp_ref[i, pl.ds(ws, W), :].astype(cdt)  # [W, L]
         rpw = rp_ref[i, pl.ds(rlo, WR), :].astype(cdt)  # [WR, L]
         # Mosaic requires 32-bit matmul accumulators; round to the compute
         # dtype after, matching XLA's bf16-out MXU semantics.
+        sps = [
+            jnp.dot(
+                oh_s[j],
+                sp_ref[i, pl.ds(ws_j[j], W), :].astype(cdt),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+            for j in range(SB)
+        ]
         sp_parts.append(
-            jnp.dot(oh_s, spw, preferred_element_type=jnp.float32).astype(cdt)
+            jnp.concatenate(sps, axis=0) if SB > 1 else sps[0]
         )
         rp_parts.append(
             jnp.dot(oh_r, rpw, preferred_element_type=jnp.float32).astype(cdt)
@@ -506,6 +586,7 @@ def _fwd_call(
         return e2[:B], agg[:B]
     Nr = sp.shape[1]
     T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
+    SB = plan.SB
     cdt = e_pad.dtype
     kernel = functools.partial(
         _fwd_kernel,
@@ -526,7 +607,7 @@ def _fwd_call(
         ),
         grid=(B // pb, C),
         in_specs=[
-            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SB, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
             pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
@@ -734,7 +815,9 @@ def _bwd_kernel(
         drp_ref[...] = jnp.zeros_like(drp_ref)
         dpar_ref[...] = jnp.zeros_like(dpar_ref)
 
-    ws = pl.multiple_of(ws_ref[0, c], 16)
+    SB = ws_ref.shape[0]
+    Ts = Tc // SB
+    ws_j = [pl.multiple_of(ws_ref[j, c], 16) for j in range(SB)]
     rlo = pl.multiple_of(rlo_ref[0, c], 8)
 
     snd_col = sndT_ref[0]
@@ -743,18 +826,30 @@ def _bwd_kernel(
 
     # --- recompute the forward chunk (remat: everything is VMEM-resident);
     # one-hots are shared by the PB batch elements, the MLP chain runs on
-    # the [PB*T, L] flattened stream (one matmul per layer)
-    oh_s = (
-        jax.lax.broadcasted_iota(jnp.int32, (Tc, W), 1) == snd_col
-    ).astype(cdt)
+    # the [PB*T, L] flattened stream (one matmul per layer).  The sender
+    # gathers run per subwindow (see _fwd_kernel).
+    oh_s = [
+        (
+            jax.lax.broadcasted_iota(jnp.int32, (Ts, W), 1)
+            == snd_col[j * Ts : (j + 1) * Ts]
+        ).astype(cdt)
+        for j in range(SB)
+    ]
     oh_r = (
         jax.lax.broadcasted_iota(jnp.int32, (Tc, WR), 1) == rcv_col
     ).astype(cdt)
     sp_parts, rp_parts = [], []
     for i in range(PB):
-        spw = sp_ref[i, pl.ds(ws, W), :].astype(cdt)
         rpw = rp_ref[i, pl.ds(rlo, WR), :].astype(cdt)
-        sp_parts.append(jnp.dot(oh_s, spw, preferred_element_type=f32).astype(cdt))
+        sps = [
+            jnp.dot(
+                oh_s[j],
+                sp_ref[i, pl.ds(ws_j[j], W), :].astype(cdt),
+                preferred_element_type=f32,
+            ).astype(cdt)
+            for j in range(SB)
+        ]
+        sp_parts.append(jnp.concatenate(sps, axis=0) if SB > 1 else sps[0])
         rp_parts.append(jnp.dot(oh_r, rpw, preferred_element_type=f32).astype(cdt))
     sp_rows = jnp.concatenate(sp_parts, axis=0) if PB > 1 else sp_parts[0]
     rp_rows = jnp.concatenate(rp_parts, axis=0) if PB > 1 else rp_parts[0]
@@ -859,19 +954,32 @@ def _bwd_kernel(
     a2_ref[...] = a2.reshape(PB, Tc, L).astype(a2_ref.dtype)
 
     # --- node-part cotangents: transposed one-hot scatter (RMW, race-free
-    # on the sequential TPU grid)
-    ohs_T = (
-        jax.lax.broadcasted_iota(jnp.int32, (W, Tc), 0) == sndrow_ref[0]
-    ).astype(cdt)  # [W, T]
+    # on the sequential TPU grid; subwindows are serialized within the
+    # invocation, so overlapping sender windows accumulate correctly)
+    srow = sndrow_ref[0]  # [SB, Ts] subwindow-local sender ids
+    ohs_T = [
+        (
+            jax.lax.broadcasted_iota(jnp.int32, (W, Ts), 0)
+            == srow[j : j + 1, :]
+        ).astype(cdt)  # [W, Ts]
+        for j in range(SB)
+    ]
     ohr_T = (
         jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rcvrow_ref[0]
     ).astype(cdt)  # [WR, T]
     for i in range(PB):
         dh_i = dh[i * Tc : (i + 1) * Tc]
-        dsp_w = jnp.dot(ohs_T, dh_i, preferred_element_type=f32)
         drp_w = jnp.dot(ohr_T, dh_i, preferred_element_type=f32)
-        dsp_ref[i, pl.ds(ws, W), :] = dsp_ref[i, pl.ds(ws, W), :] + dsp_w
         drp_ref[i, pl.ds(rlo, WR), :] = drp_ref[i, pl.ds(rlo, WR), :] + drp_w
+        for j in range(SB):
+            dsp_w = jnp.dot(
+                ohs_T[j],
+                dh_i[j * Ts : (j + 1) * Ts],
+                preferred_element_type=f32,
+            )
+            dsp_ref[i, pl.ds(ws_j[j], W), :] = (
+                dsp_ref[i, pl.ds(ws_j[j], W), :] + dsp_w
+            )
 
     # --- bias / LN parameter gradients (row 0..4 of dpar); summed over the
     # PB elements into row-block 0 (the caller sums over the batch anyway)
@@ -913,6 +1021,7 @@ def _bwd_call(
         return tuple(o[:B] for o in outs)
     Nr = sp.shape[1]
     T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
+    SB = plan.SB
     cdt = e_pad.dtype
     kernel = functools.partial(
         _bwd_kernel, L=L, W=W, WR=WR, C=C, cdt=cdt, tie_tol=tie_tol
@@ -936,7 +1045,7 @@ def _bwd_call(
         ),
         grid=(B // pb, C),
         in_specs=[
-            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SB, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
             pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
@@ -945,7 +1054,7 @@ def _bwd_call(
             pl.BlockSpec((pb, Nr, 5 * L), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, T), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, SB, T // SB), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((1, 1, T), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((L, L), lambda b, c: (0, 0)),
@@ -1258,22 +1367,42 @@ def build_sharded_band_plans(
     chunk = default_chunk() if chunk is None else chunk
     per = E // num_shards
 
-    def shard_plan(s, force=None):
+    def shard_valid(s):
         lo = s * per
         # contiguous slices: validity is a global prefix; permuted layouts
         # (chunk round-robin for the overlap path) pass per-shard counts
-        nv = (
+        return (
             int(np.clip(ev - lo, 0, per))
             if shard_num_valid is None
             else int(shard_num_valid[s])
         )
+
+    # one subwindow split for every shard (stacking needs equal [SB, C])
+    sb_common, sb_w = 1, None
+    for cand in _sb_candidates(chunk):
+        w = max(
+            _sender_W(
+                snd[s * per : (s + 1) * per],
+                rcv[s * per : (s + 1) * per],
+                shard_valid(s),
+                chunk,
+                cand,
+            )
+            for s in range(num_shards)
+        )
+        if sb_w is None or w < sb_w:
+            sb_common, sb_w = cand, w
+
+    def shard_plan(s, force=None):
+        lo = s * per
         return build_band_plan(
             snd[lo : lo + per],
             rcv[lo : lo + per],
             num_nodes,
-            num_valid=nv,
+            num_valid=shard_valid(s),
             chunk=chunk,
             force_dims=force,
+            sb=sb_common,
         )
 
     first = [shard_plan(s) for s in range(num_shards)]

@@ -396,7 +396,9 @@ def _overlap_fwd_call(
         grid=(B, G),
         in_specs=[
             pl.BlockSpec((1, NB), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (plan.SB, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, L), lambda b, c: (b, cc(c), 0)),
             pl.BlockSpec((1, nr_pad, L), lambda b, c: (b, 0, 0)),

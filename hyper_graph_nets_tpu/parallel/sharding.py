@@ -157,7 +157,18 @@ def constrain_graph(graph: Graph, mesh: Mesh) -> Graph:
             # 1-D masks shard over 'graph'; batched 2-D over ('data','graph')
             mask = c(es.mask, P(*("data", "graph")[-es.mask.ndim :]))
         band_plan = es.band_plan
-        if band_plan is not None and band_plan.w_s.shape[0] != mesh.shape["graph"]:
+        n_graph = mesh.shape["graph"]
+        stacked = (
+            band_plan is not None
+            and band_plan.w_s.shape[0] % n_graph == 0
+            # stacked plans concatenate the chunk axis across shards, so a
+            # per-shard view has w_s.shape[1] chunks; a non-stacked plan
+            # (e.g. an RMP cluster-tier set) has snd_col.shape[0] chunks
+            # total regardless of its subwindow count
+            and band_plan.snd_col.shape[0]
+            == band_plan.w_s.shape[1] * n_graph
+        )
+        if band_plan is not None and not stacked:
             # non-stacked plan (e.g. an RMP cluster-tier set): the in-step
             # shard_map region needs one plan view per 'graph' shard, so
             # these sets fall back to the unfused sharded aggregation

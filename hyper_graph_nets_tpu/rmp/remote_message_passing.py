@@ -272,7 +272,12 @@ class RemoteMessagePassing:
             if max(w_bound, wr_bound, 128) > 2048:
                 return None  # window over the kernel limit; stay unfused
             try:
-                p0 = build_band_plan(snd, rcv, rows, num_valid=ev, chunk=chunk)
+                # sb pinned to 1: plan shapes must stay functions of
+                # (N, K_padded, chunk) across reclusters, and cluster-tier
+                # sender spans are window-bound-dominated anyway
+                p0 = build_band_plan(
+                    snd, rcv, rows, num_valid=ev, chunk=chunk, sb=1
+                )
                 force = (
                     max(p0.W, w_bound),
                     max(p0.WR, wr_bound),
@@ -282,6 +287,7 @@ class RemoteMessagePassing:
                         ((rows - 1) // 16) * 16 + max(p0.W, w_bound),
                         ((rows - 1) // 8) * 8 + max(p0.WR, wr_bound),
                     ),
+                    1,
                 )
                 return build_band_plan(
                     snd, rcv, rows, num_valid=ev, chunk=chunk, force_dims=force

@@ -9,6 +9,8 @@ reference (src/migration/graphnet.py:22-64).
 Runs in interpreter mode on the CPU test mesh; the Mosaic path is
 exercised on hardware by bench.py / tools/bench_fused_block.py.
 """
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -534,4 +536,62 @@ def test_grid_amortized_pb_matches_pb1(pb):
     for a, b in zip(jax.tree.leaves(gv), jax.tree.leaves(g1)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-4
+        )
+
+
+@pytest.mark.parametrize("chunk,exp_sb", [(256, 2), (512, 4)])
+def test_sender_subwindows_shrink_W_and_match(chunk, exp_sb):
+    """Per-subchunk sender windows (BandPlan.SB > 1) halve W on banded
+    meshes and stay exact vs the oracle in both passes."""
+    N, E_valid, L = 445, 2000, 8
+    E = ((E_valid + chunk - 1) // chunk) * chunk
+    e, sp, rp, wk, snd, rcv, mask, _ = _banded_case(
+        9, N, E_valid, E, L, band=40
+    )
+    snd_n, rcv_n = np.asarray(snd), np.asarray(rcv)
+    auto = build_band_plan(snd_n, rcv_n, N, num_valid=E_valid, chunk=chunk)
+    one = build_band_plan(
+        snd_n, rcv_n, N, num_valid=E_valid, chunk=chunk, sb=1
+    )
+    assert auto.SB == exp_sb and auto.w_s.shape == (exp_sb, auto.C)
+    assert auto.W < one.W, (auto.W, one.W)
+
+    ref_e2, ref_agg = _oracle(e, sp, rp, wk, snd, rcv, mask, N)
+    rng = np.random.default_rng(13)
+    ge2 = jnp.asarray(rng.normal(size=(E, L)).astype(np.float32)) * mask[:, None]
+    gagg = jnp.asarray(rng.normal(size=(N, 4 * L)).astype(np.float32))
+
+    for plan in (auto, one):
+        e2, agg = fused_edge_block(e, sp, rp, wk, plan, N)
+        m = np.asarray(mask)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(e2) * m, np.asarray(ref_e2) * m, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(agg), np.asarray(ref_agg), atol=2e-5
+        )
+
+    def loss(kind, e, sp, rp, wk):
+        if kind == "oracle":
+            e2, agg = _oracle(e, sp, rp, wk, snd, rcv, mask, N)
+        else:
+            e2, agg = fused_edge_block(e, sp, rp, wk, auto, N)
+        return jnp.vdot(e2 * mask[:, None], ge2) + jnp.vdot(agg, gagg)
+
+    gr = jax.grad(functools.partial(loss, "oracle"), argnums=(0, 1, 2, 3))(
+        e, sp, rp, wk
+    )
+    gf = jax.grad(functools.partial(loss, "fused"), argnums=(0, 1, 2, 3))(
+        e, sp, rp, wk
+    )
+    m = np.asarray(mask)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(gf[0]) * m, np.asarray(gr[0]) * m, atol=3e-4
+    )
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]), atol=3e-4)
+    for k in gr[3]:
+        np.testing.assert_allclose(
+            np.asarray(gf[3][k]), np.asarray(gr[3][k]), atol=3e-3, rtol=1e-4,
+            err_msg=f"weight grad {k}",
         )
