@@ -250,6 +250,13 @@ class RemoteMessagePassing:
         """
         if model.params["model"].get("agg_vjp") != "fused":
             return static
+        # Default OFF: measured on TPU v5e, running the cluster tiers
+        # through the fused kernel COSTS ~2 ms/step on HGN plate (47.7 vs
+        # 45.5 ms) — the K~16 one-hot window FLOPs outweigh the fusion win
+        # (ROADMAP 5b).  The mesh/world sets keep the fused path; the
+        # density-gated masked-scatter aggregation handles the tiers.
+        if not model.params["model"].get("rmp", {}).get("fused_tiers", False):
+            return static
         from hyper_graph_nets_tpu.ops.pallas.fused_block import (
             _round_up as ru,
             build_band_plan,

@@ -358,7 +358,7 @@ class TestFusedHierarchicalParity:
     matches the unfused path — cluster-tier edge sets stay unfused (no band
     plan), mesh_edges goes through the fused update+aggregate."""
 
-    def _run(self, vjp, connector="hyper"):
+    def _run(self, vjp, connector="hyper", fused_tiers=False):
         from hyper_graph_nets_tpu.data import synthetic
         from hyper_graph_nets_tpu.data.preprocessing import add_targets
         from hyper_graph_nets_tpu.models.flag import FlagModel
@@ -377,6 +377,7 @@ class TestFusedHierarchicalParity:
                     "hyper_node_features": True, "frequency": 1,
                     "clustering": "spectral", "connector": connector,
                     "fully_connect": False,
+                    "fused_tiers": fused_tiers,
                     "intra_cluster_sampling": {
                         "enabled": False, "alpha": 0.1, "spotter_threshold": 0
                     },
@@ -401,9 +402,10 @@ class TestFusedHierarchicalParity:
         ts, loss = step(ts, frames, jax.random.PRNGKey(1), static)
         return float(loss), ts
 
-    def test_loss_and_params_match(self):
+    @pytest.mark.parametrize("fused_tiers", [False, True])
+    def test_loss_and_params_match(self, fused_tiers):
         l1, t1 = self._run("xla")
-        l2, t2 = self._run("fused")
+        l2, t2 = self._run("fused", fused_tiers=fused_tiers)
         assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
         leaves1 = jax.tree.leaves(t1.model.params)
         leaves2 = jax.tree.leaves(t2.model.params)
