@@ -119,18 +119,38 @@ def try_band_plan(
     then falls back to the unfused aggregation); datasets with scattered
     numberings opt in via ``ops.reorder.rcm_order`` at load time.  The
     chunk size defaults to ``fused_block.default_chunk()`` (512 when the
-    scoped-VMEM limit has been raised, else 256).
+    scoped-VMEM limit has been raised, else 256) — but when the
+    subwindow plan keeps every window at 128 rows and the row space is
+    flag-scale, 512-edge chunks fit the DEFAULT 16 MB scoped-VMEM limit
+    too (measured: the chunk-512 backward compiles and runs at
+    W=WR=128 without LIBTPU_INIT_ARGS), so banded meshes get the ~5%
+    fewer-grid-steps win without any launcher env var.
     """
     from hyper_graph_nets_tpu.ops.pallas.fused_block import (
         build_band_plan,
         default_chunk,
+        plan_node_rows,
     )
 
+    snd = np.asarray(senders)
+    rcv = np.asarray(receivers)
+    base = default_chunk() if chunk is None else chunk
     try:
+        if chunk is None and base < 512:
+            try:
+                p = build_band_plan(
+                    snd, rcv, num_nodes, num_valid=num_valid, chunk=512
+                )
+                if (
+                    p.W <= 128
+                    and p.WR <= 128
+                    and plan_node_rows(p, num_nodes) <= 2048
+                ):
+                    return p
+            except ValueError:
+                pass
         return build_band_plan(
-            np.asarray(senders), np.asarray(receivers), num_nodes,
-            num_valid=num_valid,
-            chunk=default_chunk() if chunk is None else chunk,
+            snd, rcv, num_nodes, num_valid=num_valid, chunk=base
         )
     except ValueError:
         return None

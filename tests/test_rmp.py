@@ -411,3 +411,75 @@ class TestInterClusterWorld:
         frames = {k: jnp.asarray(v[:3]) for k, v in ptraj.items() if k != "cells"}
         ts, loss = step(ts, frames, jax.random.PRNGKey(1), expansion.static)
         assert np.isfinite(float(loss))
+
+
+def test_spectral_sparse_affinity_matches_dense():
+    """The runtime sparse-affinity spectral path labels identically to the
+    reference's dense-matrix form (absent pairs are explicit zeros there,
+    implicit zeros here)."""
+    import sklearn.cluster
+    from sklearn.metrics import adjusted_rand_score
+
+    from hyper_graph_nets_tpu.rmp.clustering import (
+        HostGraph,
+        SpectralClustering,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, k in ((120, 6), (300, 8)):
+        pos = rng.normal(size=(n, 3))
+        snd = rng.integers(0, n, size=4 * n)
+        rcv = (snd + rng.integers(1, 5, size=4 * n)) % n
+        # bidirectional, deduplicated like cells_to_edges output
+        pairs = np.unique(
+            np.stack([np.minimum(snd, rcv), np.maximum(snd, rcv)], 1), axis=0
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        snd = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        rcv = np.concatenate([pairs[:, 1], pairs[:, 0]])
+        rel = pos[snd] - pos[rcv]
+        ef = np.concatenate(
+            [rel, np.linalg.norm(rel, axis=1, keepdims=True)] * 2, axis=-1
+        )
+        g = HostGraph(
+            target_feature=pos, mesh_features=pos[:, :2], senders=snd,
+            receivers=rcv, edge_features=ef, world_dim=3,
+        )
+        dense = SpectralClustering.compute_affinity(g)
+        sparse = SpectralClustering.compute_affinity_sparse(g)
+        np.testing.assert_allclose(sparse.toarray(), dense)
+        kw = dict(
+            n_clusters=k, random_state=0, affinity="precomputed",
+            assign_labels="cluster_qr",
+        )
+        ld = sklearn.cluster.SpectralClustering(**kw).fit(dense).labels_
+        ls = sklearn.cluster.SpectralClustering(**kw).fit(sparse).labels_
+        assert adjusted_rand_score(ld, ls) == 1.0
+
+
+def test_try_band_plan_upgrades_to_512_when_windows_small():
+    """Without the raised scoped-VMEM env var, try_band_plan still picks
+    512-edge chunks when the subwindow plan keeps W=WR=128 (measured to
+    fit the default 16 MB limit), and stays at the safe default when
+    windows are wide."""
+    from hyper_graph_nets_tpu.data import synthetic
+    from hyper_graph_nets_tpu.core.mesh import cells_to_edges
+    from hyper_graph_nets_tpu.models.base import try_band_plan
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import default_chunk
+
+    assert default_chunk() == 256  # test env never raises the VMEM limit
+
+    traj = synthetic.flag_trajectory(num_steps=3, nx=40, ny=40)
+    cells = np.asarray(traj["cells"])
+    cells = cells[0] if cells.ndim == 3 else cells
+    me = cells_to_edges(cells)
+    p = try_band_plan(me.senders, me.receivers, 1600)
+    assert p is not None and p.T == 512 and p.W == 128 and p.WR == 128
+
+    # wide sender spans: stays at the env-gated default chunk
+    rng = np.random.default_rng(0)
+    n, e = 4096, 4096
+    rcv = np.sort(rng.integers(0, n, size=e)).astype(np.int64)
+    snd = rng.integers(0, n, size=e).astype(np.int64)
+    p2 = try_band_plan(snd, rcv, n)
+    assert p2 is None or p2.T == 256
