@@ -16,7 +16,7 @@ new compile, so trajectories are padded to a shared capacity:
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -62,21 +62,126 @@ def pad_trajectory(
     return out
 
 
+def bucket_plan_dims(
+    model,
+    trajectories: Iterable[Dict[str, np.ndarray]],
+    num_nodes: int,
+    num_edges: int,
+) -> Optional[object]:
+    """One pinned set of band-plan static dims for a whole bucket.
+
+    Band-plan shapes (chunk, SB, W, WR, scan steps, node rows) are
+    data-dependent, and the bucketed train step is compiled once per
+    static signature — per-trajectory auto-picked plans would recompile
+    the step (100-200 s each through the remote-compile tunnel) whenever
+    two meshes' windows straddle a shape boundary.  This pass computes,
+    numpy-only, the maxima over every trajectory at one common
+    (chunk, sb), so every bucketed plan stacks into the same signature.
+
+    Returns None when the model doesn't run the fused path, or the
+    string ``"off"`` when any trajectory is unbandable (every bucketed
+    topology then carries ``band_plan=None`` — again one signature).
+    """
+    from hyper_graph_nets_tpu.core.mesh import cells_to_edges
+    from hyper_graph_nets_tpu.models.base import upgrade_512_ok
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import (
+        _sb_candidates,
+        default_chunk,
+        plan_dims,
+    )
+
+    params = model.params["model"]
+    if params.get("agg_vjp") != "fused":
+        return None
+    latent = getattr(model, "latent_size", 128)
+    pb = int(params.get("fused_pb", 1))
+    chunk = params.get("fused_chunk")
+
+    edge_lists = []
+    for traj in trajectories:
+        cells = np.asarray(traj["cells"][0])
+        e = cells_to_edges(cells, deform=cells.shape[-1] == 4)
+        edge_lists.append((np.asarray(e.senders), np.asarray(e.receivers)))
+
+    if chunk is None:
+        chunk = default_chunk()
+        if chunk < 512 and all(
+            upgrade_512_ok(s, r, num_nodes, latent_size=latent, pb=pb)
+            for s, r in edge_lists
+        ):
+            chunk = 512
+
+    # common sb: smallest split minimizing the bucket-wide max W
+    best_sb, best_w = 1, None
+    for cand in _sb_candidates(chunk):
+        dims = [plan_dims(s, r, chunk=chunk, sb=cand) for s, r in edge_lists]
+        if any(d is None for d in dims):
+            return "off"
+        w = max(d["W"] for d in dims)
+        if best_w is None or w < best_w:
+            best_sb, best_w = cand, w
+    dims = [plan_dims(s, r, chunk=chunk, sb=best_sb) for s, r in edge_lists]
+    if any(d is None or d["W"] > 2048 or d["WR"] > 2048 for d in dims):
+        return "off"
+    # nr must also cover the bucket's padded node space
+    nr = max(max(d["nr"] for d in dims), ((num_nodes - 1) // 16) * 16 + 128)
+    return {
+        "chunk": chunk,
+        "sb": best_sb,
+        "force": (
+            max(d["W"] for d in dims),
+            max(d["WR"] for d in dims),
+            max(d["steps"] for d in dims),
+            nr,
+            best_sb,
+        ),
+    }
+
+
 def pad_topology(model, trajectory: Dict[str, np.ndarray], num_nodes: int,
-                 num_edges: int):
-    """Build a Topology at the padded capacity with a padded edge dimension."""
+                 num_edges: int, plan_dims: Optional[object] = None):
+    """Build a Topology at the padded capacity with a padded edge dimension.
+
+    ``plan_dims``: None = per-trajectory auto plan (legacy); ``"off"`` =
+    no band plan; a :func:`bucket_plan_dims` dict = pinned static dims so
+    every trajectory in the bucket compiles to one step signature.
+    """
     from hyper_graph_nets_tpu.core.mesh import receivers_to_gather
 
     topo = model.build_topology(trajectory["cells"][0], num_nodes=num_nodes)
     e = len(topo.senders)
     if e > num_edges:
         raise ValueError(f"trajectory has {e} edges > capacity {num_edges}")
+
+    def bucket_plan(senders, receivers, num_valid):
+        from hyper_graph_nets_tpu.models.base import try_band_plan
+
+        if plan_dims == "off":
+            return None
+        if isinstance(plan_dims, dict):
+            return try_band_plan(
+                senders, receivers, num_nodes, num_valid=num_valid,
+                chunk=plan_dims["chunk"], sb=plan_dims["sb"],
+                force_dims=plan_dims["force"],
+            )
+        # legacy per-trajectory auto plan
+        return try_band_plan(
+            senders, receivers, num_nodes, num_valid=num_valid,
+            chunk=model.params["model"].get("fused_chunk"),
+            latent_size=getattr(model, "latent_size", 128),
+            pb=int(model.params["model"].get("fused_pb", 1)),
+        )
+
     if e == num_edges:
         # attach an explicit all-ones mask: every bucketed topology then has
         # the same static structure (field None-ness), so exact-capacity
         # meshes share the one compiled topology-as-argument train step
         if topo.mask is None:
             topo = topo._replace(mask=np.ones(e, np.float32))
+        if topo.band_plan is not None or plan_dims == "off":
+            topo = topo._replace(
+                band_plan=bucket_plan(topo.senders, topo.receivers, e)
+            )
         return topo
     pad = num_edges - e
     senders = np.concatenate([topo.senders, np.zeros(pad, np.int32)])
@@ -89,12 +194,7 @@ def pad_topology(model, trajectory: Dict[str, np.ndarray], num_nodes: int,
     # the band plan encodes the edge dimension; rebuild at padded capacity
     band_plan = None
     if topo.band_plan is not None:
-        from hyper_graph_nets_tpu.models.base import try_band_plan
-
-        band_plan = try_band_plan(
-            senders, receivers, num_nodes, num_valid=e,
-            chunk=model.params["model"].get("fused_chunk"),
-        )
+        band_plan = bucket_plan(senders, receivers, e)
     return topo._replace(
         senders=senders, receivers=receivers, mask=mask,
         gather_idx=gidx, gather_valid=gvalid, band_plan=band_plan,

@@ -106,12 +106,41 @@ class Topology(NamedTuple):
         return jnp.broadcast_to(jnp.asarray(self.mask), shape)
 
 
+def upgrade_512_ok(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    num_valid: Optional[int] = None,
+    latent_size: int = 128,
+    pb: int = 1,
+) -> bool:
+    """Whether 512-edge chunks are safe WITHOUT the raised scoped-VMEM
+    env var: the measured fit (chunk-512 backward compiles and runs at
+    the default 16 MB limit) was taken at W=WR=128, latent 128, pb 1,
+    ~flag-scale row counts — gate on all of them, numpy-only."""
+    from hyper_graph_nets_tpu.ops.pallas.fused_block import plan_dims
+
+    if latent_size > 128 or pb > 1:
+        return False
+    d = plan_dims(senders, receivers, num_valid=num_valid, chunk=512)
+    return (
+        d is not None
+        and d["W"] <= 128
+        and d["WR"] <= 128
+        and max(d["nr"], num_nodes) <= 2048
+    )
+
+
 def try_band_plan(
     senders: np.ndarray,
     receivers: np.ndarray,
     num_nodes: int,
     num_valid: Optional[int] = None,
     chunk: Optional[int] = None,
+    sb: Optional[int] = None,
+    force_dims=None,
+    latent_size: int = 128,
+    pb: int = 1,
 ):
     """Banded-window plan for the fused MP-block kernel, or None.
 
@@ -119,38 +148,36 @@ def try_band_plan(
     then falls back to the unfused aggregation); datasets with scattered
     numberings opt in via ``ops.reorder.rcm_order`` at load time.  The
     chunk size defaults to ``fused_block.default_chunk()`` (512 when the
-    scoped-VMEM limit has been raised, else 256) — but when the
-    subwindow plan keeps every window at 128 rows and the row space is
-    flag-scale, 512-edge chunks fit the DEFAULT 16 MB scoped-VMEM limit
-    too (measured: the chunk-512 backward compiles and runs at
-    W=WR=128 without LIBTPU_INIT_ARGS), so banded meshes get the ~5%
+    scoped-VMEM limit has been raised, else 256) — upgraded to 512 when
+    :func:`upgrade_512_ok` holds, so banded meshes get the ~5%
     fewer-grid-steps win without any launcher env var.
+
+    ``sb``/``force_dims`` pin the plan's static dims — the bucketed
+    path (data/bucketing.py) uses them so every trajectory in a bucket
+    yields one compiled-step signature.
     """
     from hyper_graph_nets_tpu.ops.pallas.fused_block import (
         build_band_plan,
         default_chunk,
-        plan_node_rows,
     )
 
     snd = np.asarray(senders)
     rcv = np.asarray(receivers)
     base = default_chunk() if chunk is None else chunk
+    if (
+        chunk is None
+        and base < 512
+        and force_dims is None
+        and upgrade_512_ok(
+            snd, rcv, num_nodes, num_valid=num_valid,
+            latent_size=latent_size, pb=pb,
+        )
+    ):
+        base = 512
     try:
-        if chunk is None and base < 512:
-            try:
-                p = build_band_plan(
-                    snd, rcv, num_nodes, num_valid=num_valid, chunk=512
-                )
-                if (
-                    p.W <= 128
-                    and p.WR <= 128
-                    and plan_node_rows(p, num_nodes) <= 2048
-                ):
-                    return p
-            except ValueError:
-                pass
         return build_band_plan(
-            snd, rcv, num_nodes, num_valid=num_valid, chunk=base
+            snd, rcv, num_nodes, num_valid=num_valid, chunk=base,
+            sb=sb, force_dims=force_dims,
         )
     except ValueError:
         return None
@@ -366,6 +393,8 @@ class SystemModel:
                     # (512 needs the raised scoped-VMEM limit; 256 always
                     # compiles) — bench.py's compile-failure fallback knob
                     chunk=self.params["model"].get("fused_chunk"),
+                    latent_size=self.latent_size,
+                    pb=int(self.params["model"].get("fused_pb", 1)),
                 )
                 if self.params["model"].get("agg_vjp") == "fused"
                 else None

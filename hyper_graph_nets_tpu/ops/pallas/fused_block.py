@@ -189,6 +189,49 @@ def _chunk_windows(snd, rcv, ev, chunk):
         yield c, sl, ws, rl, w_need, wr_need
 
 
+def plan_dims(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_valid: Optional[int] = None,
+    chunk: Optional[int] = None,
+    sb: Optional[int] = None,
+) -> Optional[dict]:
+    """Numpy-only static dims a :func:`build_band_plan` call would get.
+
+    Returns ``{"chunk", "sb", "W", "WR", "steps", "nr"}`` (no device
+    arrays are built), or None when the receivers are unsorted.  Window
+    padding is irrelevant to the dims: only valid edges enter the
+    per-chunk window computation, so dims computed on an unpadded edge
+    list match the padded build.
+    """
+    snd = np.asarray(senders, np.int64)
+    rcv = np.asarray(receivers, np.int64)
+    ev = snd.shape[0] if num_valid is None else int(num_valid)
+    if ev and np.any(np.diff(rcv[:ev]) < 0):
+        return None
+    chunk = default_chunk() if chunk is None else chunk
+    if sb is None:
+        sb = _best_sb(snd, rcv, ev, chunk)
+    W = _sender_W(snd, rcv, ev, chunk, sb)
+    WR, seg_max = 128, 1
+    ws_max = rl_max = 0
+    for _, sl, ws, rl, w_need, wr_need in _chunk_windows(snd, rcv, ev, chunk):
+        WR = max(WR, wr_need)
+        rl_max = max(rl_max, rl)
+        cr = rcv[sl]
+        runs = np.diff(np.flatnonzero(np.r_[True, np.diff(cr) != 0, True]))
+        seg_max = max(seg_max, int(runs.max()))
+    ts = chunk // sb
+    for _, _, ws, _, _, _ in _chunk_windows(snd, rcv, ev, ts):
+        ws_max = max(ws_max, ws)
+    steps = 0
+    while (1 << steps) < min(seg_max, chunk):
+        steps += 1
+    nr = max(ws_max + W, rl_max + WR)
+    return {"chunk": chunk, "sb": sb, "W": W, "WR": WR, "steps": steps,
+            "nr": nr}
+
+
 def check_banded(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -198,20 +241,13 @@ def check_banded(
 ) -> bool:
     """Cheap numpy-only probe of the band-plan criterion.
 
-    Same per-chunk window check as :func:`build_band_plan` without
-    building (or uploading) any plan arrays — use this to decide whether
-    a mesh needs RCM reordering (training/simulator._maybe_reorder).
+    Matches :func:`build_band_plan`'s acceptance (receiver windows at
+    chunk granularity, sender windows at the auto-picked subchunk
+    granularity) without building any plan arrays — use this to decide
+    whether a mesh needs RCM reordering (training/simulator._maybe_reorder).
     """
-    snd = np.asarray(senders, np.int64)
-    rcv = np.asarray(receivers, np.int64)
-    ev = snd.shape[0] if num_valid is None else int(num_valid)
-    if ev and np.any(np.diff(rcv[:ev]) < 0):
-        return False
-    chunk = default_chunk() if chunk is None else chunk
-    return all(
-        w <= max_window and wr <= max_window
-        for _, _, _, _, w, wr in _chunk_windows(snd, rcv, ev, chunk)
-    )
+    d = plan_dims(senders, receivers, num_valid=num_valid, chunk=chunk)
+    return d is not None and d["W"] <= max_window and d["WR"] <= max_window
 
 
 def build_band_plan(
@@ -355,7 +391,7 @@ def plan_node_rows(plan: BandPlan, num_nodes: int) -> int:
 
 
 def _fwd_kernel(
-    ws_ref,  # SMEM (1, C) int32
+    ws_ref,  # SMEM (SB, C) int32: per-subchunk sender-window starts
     rlo_ref,  # SMEM (1, C) int32
     e_ref,  # (PB, T, L) bf16/f32: edge features chunk, PB batch elements
     sp_ref,  # (PB, Nr, L): sender node parts (nodes @ Ws)
@@ -765,7 +801,7 @@ def _fused_fwd(e_pad, sp, rp, weights, plan, interpret, pb):
 
 
 def _bwd_kernel(
-    ws_ref,  # SMEM (1, C) int32
+    ws_ref,  # SMEM (SB, C) int32: per-subchunk sender-window starts
     rlo_ref,  # SMEM (1, C) int32
     e_ref,  # (1, T, L): forward edge features chunk
     sp_ref,  # (1, Nr, L)
@@ -774,7 +810,7 @@ def _bwd_kernel(
     drhs_ref,  # (1, Nr, 5L) f32: [g_sum + g_mean/deg | mx | g_max | mn | g_min]
     sndT_ref,  # (1, T, 1) int32
     rcvT_ref,  # (1, T, 1) int32
-    sndrow_ref,  # (1, 1, T) int32
+    sndrow_ref,  # (1, SB, T/SB) int32: subwindow-local, row layout
     rcvrow_ref,  # (1, 1, T) int32
     mT_ref,  # (1, T, 1) f32
     we_ref,

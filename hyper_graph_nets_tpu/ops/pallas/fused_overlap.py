@@ -170,7 +170,7 @@ def _mesh_neighbors(axis_name: str, mesh_axes) -> Tuple:
 
 def _overlap_kernel(
     sched_ref,  # SMEM (1, NB) int32: per-band ring start grid step
-    ws_ref,  # SMEM (1, C)
+    ws_ref,  # SMEM (SB, C): per-subchunk sender-window starts
     rlo_ref,  # SMEM (1, C)
     e_ref,
     sp_ref,

@@ -258,7 +258,7 @@ class SpectralClustering(ClusteringAlgorithm):
         return sc.fit(X).labels_
 
     @staticmethod
-    def _affinity_weights(graph: HostGraph) -> np.ndarray:
+    def _affinity_weights(graph: HostGraph):
         wnorm = graph.edge_features[:, graph.world_dim]
         mnorm = graph.edge_features[:, -1]
         with np.errstate(divide="ignore"):
@@ -266,17 +266,28 @@ class SpectralClustering(ClusteringAlgorithm):
         finite = np.isfinite(w)
         if (~finite).any():
             w[~finite] = w[finite].max(initial=0.0) + 1
-        return w
+        return w, finite
 
     @classmethod
     def compute_affinity_sparse(cls, graph: HostGraph):
         from scipy.sparse import coo_matrix
 
         n = graph.target_feature.shape[0]
-        w = cls._affinity_weights(graph)
-        return coo_matrix(
-            (w, (graph.senders, graph.receivers)), shape=(n, n)
-        ).tocsr()
+        w, finite = cls._affinity_weights(graph)
+        snd = np.asarray(graph.senders, np.int64)
+        rcv = np.asarray(graph.receivers, np.int64)
+        # duplicate (s, r) pairs: coo would SUM them on conversion while
+        # the dense form writes finite entries first, then the infinite
+        # substitutes — so any infinite duplicate wins, else the last
+        # write.  Dedup with the same precedence (cells_to_edges never
+        # emits duplicates, but HostGraph doesn't enforce that).
+        key = snd * n + rcv
+        if len(np.unique(key)) != len(key):
+            order = np.lexsort((np.arange(len(key)), ~finite, key))
+            ks = key[order]
+            keep = order[np.r_[ks[1:] != ks[:-1], True]]
+            snd, rcv, w = snd[keep], rcv[keep], w[keep]
+        return coo_matrix((w, (snd, rcv)), shape=(n, n)).tocsr()
 
     @classmethod
     def compute_affinity(cls, graph: HostGraph) -> np.ndarray:
@@ -284,8 +295,10 @@ class SpectralClustering(ClusteringAlgorithm):
         tests); the runtime path uses :meth:`compute_affinity_sparse`."""
         n = graph.target_feature.shape[0]
         aff = np.zeros((n, n), float)
-        w = cls._affinity_weights(graph)
-        aff[graph.senders, graph.receivers] = w
+        w, finite = cls._affinity_weights(graph)
+        # reference write order: finite entries first, substitutes second
+        aff[graph.senders[finite], graph.receivers[finite]] = w[finite]
+        aff[graph.senders[~finite], graph.receivers[~finite]] = w[~finite]
         return aff
 
 

@@ -67,10 +67,18 @@ class MeshSimulator:
         # cross-trajectory bucketing capacity (data/bucketing.py); None until
         # set_capacity is called for variable-size datasets
         self.capacity: Optional[Tuple[int, int]] = None
+        self._plan_dims: Optional[object] = None
 
-    def set_capacity(self, num_nodes: int, num_edges: int) -> None:
-        """Enable bucketing: all trajectories pad to one static shape."""
+    def set_capacity(
+        self, num_nodes: int, num_edges: int, plan_dims: Optional[object] = None
+    ) -> None:
+        """Enable bucketing: all trajectories pad to one static shape.
+
+        ``plan_dims`` (data/bucketing.bucket_plan_dims): pinned band-plan
+        static dims so every bucketed mesh compiles to one step
+        signature; None keeps per-trajectory auto plans."""
         self.capacity = (num_nodes, num_edges)
+        self._plan_dims = plan_dims
 
     def _prepare(self, trajectory: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         trajectory = self._maybe_reorder(trajectory)
@@ -136,7 +144,8 @@ class MeshSimulator:
                 from hyper_graph_nets_tpu.data.bucketing import pad_topology
 
                 self._topo_cache[key] = pad_topology(
-                    self.model, trajectory, *self.capacity
+                    self.model, trajectory, *self.capacity,
+                    plan_dims=self._plan_dims,
                 )
             else:
                 self._topo_cache[key] = self.model.topology_from_trajectory(

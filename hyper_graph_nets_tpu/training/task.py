@@ -80,23 +80,23 @@ class MeshTask(AbstractTask):
 
         in_dir, _ = get_directories(self.dataset, self._data_dir)
         cache = os.path.join(in_dir, "capacity.json")
+        limits = {
+            "train": self.trajectories,
+            "valid": max(
+                self.valid_cfg.get("trajectories", 1),
+                self.valid_cfg.get("rollouts", 1),
+            ),
+            "test": max(
+                self.test_cfg.get("trajectories", 1),
+                self.test_cfg.get("rollouts", 1),
+            ),
+        }
         if os.path.exists(cache):
             with open(cache) as f:
                 info = json.load(f)
         else:
             sizes = set()
             max_nodes = max_edges = 0
-            limits = {
-                "train": self.trajectories,
-                "valid": max(
-                    self.valid_cfg.get("trajectories", 1),
-                    self.valid_cfg.get("rollouts", 1),
-                ),
-                "test": max(
-                    self.test_cfg.get("trajectories", 1),
-                    self.test_cfg.get("rollouts", 1),
-                ),
-            }
             for split, limit in limits.items():
                 for i, traj in enumerate(
                     get_data(self.config, split, data_dir=self._data_dir)
@@ -120,7 +120,34 @@ class MeshTask(AbstractTask):
             except OSError:
                 pass
         if info.get("variable"):
-            self.simulator.set_capacity(info["max_nodes"], info["max_edges"])
+            plan_dims = None
+            if self.config["model"].get("agg_vjp") == "fused":
+                # pin one band-plan signature for the whole bucket so the
+                # compiled step is reused across meshes (bucket_plan_dims).
+                # Scan with the simulator's own reorder (RCM relabeling
+                # changes the windows the plans see).  Bounded by the same
+                # trajectory limits as the capacity scan — a mesh outside
+                # the scanned set with wider windows just costs one extra
+                # compile, not a wrong result.
+                from hyper_graph_nets_tpu.data.bucketing import (
+                    bucket_plan_dims,
+                )
+
+                scanned = []
+                for split, limit in limits.items():
+                    for i, traj in enumerate(
+                        get_data(self.config, split, data_dir=self._data_dir)
+                    ):
+                        if i >= limit:
+                            break
+                        scanned.append(self.simulator._maybe_reorder(traj))
+                plan_dims = bucket_plan_dims(
+                    self.simulator.model, scanned,
+                    info["max_nodes"], info["max_edges"],
+                )
+            self.simulator.set_capacity(
+                info["max_nodes"], info["max_edges"], plan_dims=plan_dims
+            )
 
     def _train_data(self):
         return get_data(self.config, "train", data_dir=self._data_dir)

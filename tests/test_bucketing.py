@@ -219,3 +219,43 @@ class TestBucketing:
         static = rmp.prepare(model, {k: v[0] for k, v in padded.items()}, topo)
         assert static.member_mask[16:].sum() == 0  # padded nodes in no cluster
         assert static.member_mask[:16].sum() == 16
+
+
+def test_bucket_plan_dims_pins_one_signature():
+    """With agg_vjp=fused, bucket_plan_dims pins (chunk, sb, W, WR, steps,
+    nr) so every trajectory in the bucket yields band plans with IDENTICAL
+    array shapes — one compiled train-step signature per bucket."""
+    from hyper_graph_nets_tpu.data.bucketing import bucket_plan_dims
+    from hyper_graph_nets_tpu.models.get_model import get_model
+
+    params = {
+        "task": dict(PARAMS["task"]),
+        "model": {**PARAMS["model"], "agg_vjp": "fused"},
+    }
+    t1, t2 = two_sizes()
+    t3 = add_targets(
+        synthetic.flag_trajectory(num_steps=10, nx=7, ny=7), "world_pos", True
+    )
+    trajs = [t1, t2, t3]
+    model = FlagModel(params)
+    n_cap, e_cap = trajectory_capacity(trajs)
+    dims = bucket_plan_dims(model, trajs, n_cap, e_cap)
+    assert isinstance(dims, dict)
+
+    shapes = []
+    for t in trajs:
+        topo = pad_topology(model, t, n_cap, e_cap, plan_dims=dims)
+        assert topo.band_plan is not None
+        shapes.append(
+            jax.tree.map(lambda a: a.shape, topo.band_plan._asdict())
+        )
+    assert shapes[0] == shapes[1] == shapes[2]
+
+    # "off" sentinel: every topology drops its plan (again one signature)
+    for t in trajs:
+        topo = pad_topology(model, t, n_cap, e_cap, plan_dims="off")
+        assert topo.band_plan is None
+
+    # a model off the fused path gets None (no pinning needed)
+    params_unfused = {"task": dict(PARAMS["task"]), "model": dict(PARAMS["model"])}
+    assert bucket_plan_dims(FlagModel(params_unfused), trajs, n_cap, e_cap) is None

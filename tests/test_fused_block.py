@@ -456,19 +456,26 @@ def test_band_plan_invariants(seed, N, E_valid, E, chunk):
     plan = build_band_plan(
         np.asarray(snd), np.asarray(rcv), N, num_valid=E_valid, chunk=chunk
     )
-    C, T, W, WR = plan.C, plan.T, plan.W, plan.WR
+    C, T, W, WR, SB = plan.C, plan.T, plan.W, plan.WR, plan.SB
+    Ts = T // SB
     assert W % 128 == 0 and WR % 128 == 0 and T == chunk
-    w_s = np.asarray(plan.w_s)[0]
+    # w_s is [SB, C]: subchunk j of chunk c at [j, c]
+    w_s = np.asarray(plan.w_s)
+    assert w_s.shape == (SB, C)
     r_lo = np.asarray(plan.r_lo)[0]
     snd_col = np.asarray(plan.snd_col).reshape(C * T)
     rcv_col = np.asarray(plan.rcv_col).reshape(C * T)
+    snd_row = np.asarray(plan.snd_row)
+    assert snd_row.shape == (C, SB, Ts)
+    np.testing.assert_array_equal(snd_row.reshape(C * T), snd_col)
     m = np.asarray(plan.m_col).reshape(C * T)
     # mask marks exactly the valid prefix
     assert m.sum() == E_valid and (m[:E_valid] == 1).all()
     for i in range(C * T):
         c = i // T
+        j = (i % T) // Ts  # sender subchunk
         if m[i]:
-            assert w_s[c] + snd_col[i] == int(np.asarray(snd)[i])
+            assert w_s[j, c] + snd_col[i] == int(np.asarray(snd)[i])
             assert r_lo[c] + rcv_col[i] == int(np.asarray(rcv)[i])
             assert snd_col[i] < W and rcv_col[i] < WR
         else:

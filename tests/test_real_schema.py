@@ -132,7 +132,10 @@ class TestRealSchema:
 
     def test_fused_path_on_varying_meshes(self, tmp_path):
         """The shipped fused config trains over the fixture (band plans are
-        rebuilt at padded capacity; RCM reorder handles general meshes)."""
+        rebuilt at padded capacity; RCM reorder handles general meshes),
+        and the task-style pinned plan dims keep it at ONE compiled step."""
+        from hyper_graph_nets_tpu.data.bucketing import bucket_plan_dims
+
         _write_fixture(tmp_path)
         params = {**PARAMS, "model": {**PARAMS["model"], "agg_vjp": "fused"}}
         loader = get_data(params, split="train", data_dir=str(tmp_path))
@@ -140,7 +143,13 @@ class TestRealSchema:
         n_cap, e_cap = trajectory_capacity(trajs)
         sim = MeshSimulator(params, out_dir=str(tmp_path / "out_fused"))
         ts = sim.initialize()
-        sim.set_capacity(n_cap, e_cap)
+        # mirror training.task._setup_bucketing: plan dims computed on the
+        # REORDERED trajectories (RCM changes the windows the plans see)
+        dims = bucket_plan_dims(
+            sim.model, [sim._maybe_reorder(t) for t in trajs], n_cap, e_cap
+        )
+        sim.set_capacity(n_cap, e_cap, plan_dims=dims)
         for traj in trajs:
             ts, losses = sim.fit_trajectory(ts, traj)
             assert np.isfinite(losses).all()
+        assert len(sim._step_cache) == 1, "bucketed fused step recompiled"
