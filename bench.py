@@ -282,7 +282,9 @@ def _hgn_plate_throughput() -> dict:
             "message_passing_steps": mp,
             "compute_dtype": "bfloat16",
             "scan_unroll": mp,
-            "max_world_edges": 1024,
+            # per-trajectory static capacity from the data (2x max contact
+            # count, pow2): the shipped plateCluster.yaml semantics
+            "max_world_edges": "auto",
             "agg_vjp": "fused",  # fused Pallas kernel on the mesh edge set
             "rmp": {
                 "clustering": "spectral",
@@ -326,9 +328,10 @@ def _hgn_plate_throughput() -> dict:
     dt = (time.perf_counter() - t0) / iters
     # padded-capacity edge count: mesh + world-edge cap + pow2-padded
     # remote edge rows — what the program actually processes per step
+    world_cap = int((topo.aux or {}).get("world_cap", 1024))
     num_edges = (
         len(topo.senders)
-        + params["model"]["max_world_edges"]
+        + world_cap
         + len(static.up_senders)
         + len(static.down_senders)
         + len(static.inter_senders)

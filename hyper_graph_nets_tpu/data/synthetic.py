@@ -135,10 +135,20 @@ def cylinder_trajectory(
     }
 
 
+# plate obstacle motion: start just above the plate, descend at OBS_RATE
+# per step, hold at OBS_Z_MIN.  OBS_CLEARANCE (< world-edge radius 0.03)
+# is the gap the pressed plate keeps to the stamp, so contact frames have
+# real world edges at every mesh resolution.
+OBS_Z0 = 0.05
+OBS_RATE = 0.005
+OBS_Z_MIN = 0.004
+OBS_CLEARANCE = 0.015
+
+
 def plate_trajectory(
     num_steps: int = 30, nx: int = 6, ny: int = 6, seed: int = 0
 ) -> Dict[str, np.ndarray]:
-    """Quad-cell plate pressed by a kinematic obstacle sphere (3D)."""
+    """Quad-cell plate pressed by a kinematic obstacle stamp (3D contact)."""
     rng = np.random.RandomState(seed)
     n_plate = nx * ny
     xs, ys = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij")
@@ -146,12 +156,20 @@ def plate_trajectory(
         [xs.ravel(), ys.ravel(), np.zeros(n_plate)], axis=1
     ).astype(np.float32)
 
-    # obstacle: small sphere point cloud above the plate, moving down
-    n_obs = 9
-    theta = np.linspace(0, 2 * np.pi, n_obs, endpoint=False)
+    # obstacle: a flat square stamp above the plate, pressing down.  The
+    # stamp scales with the mesh so contact stays resolved at every
+    # resolution; it descends INTO world-edge range (radius 0.03,
+    # models/plate.WORLD_EDGE_RADIUS) so the contact path the reference
+    # exercises on the real deforming_plate data (world edges, reference
+    # plate.py:85-110) actually fires — the pre-round-4 generator stopped
+    # the obstacle at exactly radius distance and never produced a single
+    # world edge.
+    side = max(3, nx // 9)
+    n_obs = side * side
+    g = (np.arange(side) - (side - 1) / 2.0) * 0.04
+    ox, oy = np.meshgrid(0.5 + g, 0.5 + g, indexing="ij")
     obs_mesh = np.stack(
-        [0.5 + 0.05 * np.cos(theta), 0.5 + 0.05 * np.sin(theta), 0.3 * np.ones(n_obs)],
-        axis=1,
+        [ox.ravel(), oy.ravel(), OBS_Z0 * np.ones(n_obs)], axis=1
     ).astype(np.float32)
 
     mesh_pos = np.concatenate([plate_mesh, obs_mesh], axis=0)
@@ -179,15 +197,18 @@ def plate_trajectory(
 
     T = num_steps
     world = np.tile(mesh_pos[None], (T, 1, 1)).astype(np.float32)
-    drop = np.minimum(0.25, 0.01 * np.arange(T, dtype=np.float32))
+    drop = np.minimum(OBS_Z0 - OBS_Z_MIN, OBS_RATE * np.arange(T, dtype=np.float32))
     world[:, n_plate:, 2] -= drop[:, None]
-    # plate deforms where obstacle is close
+    # plate surface follows the descending stamp with a small clearance
+    # (< world-edge radius), so pressed nodes stay inside radius-0.03 of
+    # the stamp points: genuine world edges form once obs_z < 0.03 and
+    # persist through the hold phase at OBS_Z_MIN
+    r = np.linalg.norm(plate_mesh[:, :2] - np.array([0.5, 0.5]), axis=1)
     for t in range(T):
         obs_z = world[t, n_plate:, 2].min()
-        if obs_z < 0.05:
-            r = np.linalg.norm(plate_mesh[:, :2] - np.array([0.5, 0.5]), axis=1)
-            dent = np.clip(0.05 - obs_z, 0, None) * np.exp(-(r / 0.2) ** 2)
-            world[t, :n_plate, 2] -= dent * (~boundary)
+        target = (obs_z - OBS_CLEARANCE) * np.exp(-((r / 0.18) ** 2))
+        dented = np.minimum(world[t, :n_plate, 2], target)
+        world[t, :n_plate, 2] = np.where(boundary, world[t, :n_plate, 2], dented)
     world += 0.002 * rng.randn(*world.shape).astype(np.float32)
     world[:, node_type[:, 0] == NodeType.HANDLE] = np.tile(
         mesh_pos[node_type[:, 0] == NodeType.HANDLE][None], (T, 1, 1)

@@ -47,7 +47,16 @@ class PlateModel(SystemModel):
     def __init__(self, params: dict):
         super().__init__(params)
         # reference: plate allows 'repeated' architecture without RMP (plate.py:39-40)
-        self.max_world_edges = params["model"].get("max_world_edges", 1024)
+        # ``max_world_edges``: static world-edge capacity (the reference's
+        # torch query is fully dynamic, plate.py:85-110; a static capacity
+        # is the jit-able equivalent).  An int pins it globally; "auto"
+        # sizes it per trajectory from the data (topology_from_trajectory
+        # counts the radius query's hits per frame and takes 2x the max,
+        # pow2-rounded, min 64) so padding tracks real contact instead of
+        # a blanket worst case.
+        raw = params["model"].get("max_world_edges", 1024)
+        self.auto_world_edges = raw == "auto"
+        self.max_world_edges = 1024 if self.auto_world_edges else int(raw)
 
     def geometry(self, frames):
         return frames["world_pos"], frames["mesh_pos"]
@@ -117,7 +126,39 @@ class PlateModel(SystemModel):
         valid = np.zeros(cap, np.float32)
         idx[: len(obstacle)] = obstacle
         valid[: len(obstacle)] = 1.0
-        return topo._replace(aux={"obstacle_idx": idx, "obstacle_valid": valid})
+        aux = {"obstacle_idx": idx, "obstacle_valid": valid}
+        if self.auto_world_edges:
+            aux["world_cap"] = self._world_cap_from_trajectory(
+                trajectory, obstacle, node_type
+            )
+        return topo._replace(aux=aux)
+
+    def _world_cap_from_trajectory(
+        self, trajectory, obstacle: np.ndarray, node_type: np.ndarray
+    ) -> int:
+        """Host: static world-edge capacity for ``max_world_edges: auto``.
+
+        Runs the reference radius query (plate.py:85-110) in numpy over the
+        whole trajectory, takes 2x the max per-frame hit count (headroom
+        for training noise and rollout drift beyond the data), rounds up
+        to a power of two, floors at 64.  Truncation semantics past the
+        capacity are unchanged (first hits in (obstacle, receiver) order).
+        """
+        normal = node_type == NodeType.NORMAL
+        world = np.asarray(trajectory["world_pos"])
+        if len(obstacle) == 0 or not normal.any():
+            return 64
+        obs = world[:, obstacle]  # [T, O, 3]
+        nrm = world[:, normal]  # [T, Nn, 3]
+        max_hits = 0
+        for t in range(world.shape[0]):
+            d2 = np.sum((obs[t][:, None, :] - nrm[t][None, :, :]) ** 2, axis=-1)
+            max_hits = max(max_hits, int((d2 < WORLD_EDGE_RADIUS**2).sum()))
+        cap = 64
+        upper = len(obstacle) * int(node_type.shape[0])
+        while cap < min(2 * max_hits, upper):
+            cap *= 2
+        return cap
 
     def world_edge_receiver_nodes(self, frame, topo) -> Optional[np.ndarray]:
         """Host: NORMAL nodes within world-edge radius of an obstacle node
@@ -144,6 +185,7 @@ class PlateModel(SystemModel):
         receivers: Array,
         obstacle_idx: Optional[Array] = None,
         obstacle_valid: Optional[Array] = None,
+        world_cap: Optional[int] = None,
     ) -> Tuple[Array, Array, Array]:
         """Static-capacity world-edge extraction (jit-safe radius query).
 
@@ -151,7 +193,11 @@ class PlateModel(SystemModel):
         obstacle-to-all distance block is computed; obstacle and plate are
         separate mesh components, so the mesh-edge dedup of the dense path
         is vacuous there (reference plate.py:96-99).
+
+        ``world_cap`` (static int) overrides ``self.max_world_edges`` —
+        the per-trajectory capacity of ``max_world_edges: auto``.
         """
+        cap = self.max_world_edges if world_cap is None else int(world_cap)
         n = world_pos.shape[0]
         codes = node_type[:, 0]
         normal = jnp.equal(codes, NodeType.NORMAL)
@@ -165,7 +211,7 @@ class PlateModel(SystemModel):
             conn = conn & (obstacle_valid[:, None] > 0) & normal[None, :]
             o = obstacle_idx.shape[0]
             flat = conn.reshape(-1).astype(jnp.float32)
-            k = min(self.max_world_edges, o * n)
+            k = min(cap, o * n)
             vals, idx = jax.lax.top_k(flat, k)
             mask = vals > 0
             ws = jnp.where(mask, jnp.take(obstacle_idx, idx // n), 0)
@@ -181,7 +227,7 @@ class PlateModel(SystemModel):
             obstacle = jnp.equal(codes, NodeType.OBSTACLE)
             conn = conn & obstacle[:, None] & normal[None, :]
             flat = conn.reshape(-1).astype(jnp.float32)
-            k = min(self.max_world_edges, n * n)
+            k = min(cap, n * n)
             vals, idx = jax.lax.top_k(flat, k)
             mask = vals > 0
             ws = jnp.where(mask, idx // n, 0)
@@ -199,6 +245,7 @@ class PlateModel(SystemModel):
         frame: Dict[str, Array],
         obstacle_idx: Optional[Array] = None,
         obstacle_valid: Optional[Array] = None,
+        world_cap: Optional[int] = None,
     ) -> Dict[str, Array]:
         world_pos = frame["world_pos"]
         mesh_pos = frame["mesh_pos"]
@@ -219,7 +266,8 @@ class PlateModel(SystemModel):
         )
 
         ws, wr, wmask = self._world_edges(
-            world_pos, node_type, senders, receivers, obstacle_idx, obstacle_valid
+            world_pos, node_type, senders, receivers, obstacle_idx,
+            obstacle_valid, world_cap=world_cap,
         )
         w_rel = jnp.take(world_pos, ws, 0) - jnp.take(world_pos, wr, 0)
         world_edge_features = norm_feature(w_rel) * wmask[:, None]
@@ -256,6 +304,7 @@ class PlateModel(SystemModel):
                 if "obstacle_valid" not in aux
                 else jnp.asarray(aux["obstacle_valid"])
             ),
+            world_cap=aux.get("world_cap"),
         )
         raw = (
             jax.vmap(lambda f: feat_fn(f))(frames) if batched else feat_fn(frames)
@@ -354,6 +403,7 @@ class PlateModel(SystemModel):
             "rollout",
             topo.senders.shape,
             topo.num_nodes,
+            (topo.aux or {}).get("world_cap"),
             num_steps,
             self._expansion_key(expansion),
             self._static_shapes(static),
@@ -434,6 +484,7 @@ class PlateModel(SystemModel):
             "n_step",
             topo.senders.shape,
             topo.num_nodes,
+            (topo.aux or {}).get("world_cap"),
             n_step,
             chunk,
             self._expansion_key(expansion),

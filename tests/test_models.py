@@ -253,6 +253,68 @@ class TestPlateModel:
         )
         assert dense == restricted and len(dense) >= 1
 
+    def test_generator_produces_contact(self):
+        """The synthetic plate data has REAL contact frames (the obstacle
+        descends inside world-edge radius), so the world-edge path the
+        reference exercises on deforming_plate (plate.py:85-110) is live
+        at every resolution."""
+        for nx, T in ((5, 12), (12, 30)):
+            traj = synthetic.plate_trajectory(num_steps=T, nx=nx, ny=nx)
+            nt = traj["node_type"][0][:, 0]
+            obs = nt == NodeType.OBSTACLE
+            nrm = nt == NodeType.NORMAL
+            w = traj["world_pos"]
+            d2 = np.sum(
+                (w[-1][obs][:, None] - w[-1][nrm][None]) ** 2, axis=-1
+            )
+            assert (d2 < 0.03**2).sum() > 0, f"no contact at nx={nx}"
+
+    def test_auto_world_capacity(self):
+        """max_world_edges: auto sizes the static capacity per trajectory
+        (2x max contact, pow2, >=64) and selects the SAME valid edge set
+        as a generous fixed capacity."""
+        params = {
+            "task": {"dataset": "deforming_plate"},
+            "model": {**self.params["model"], "max_world_edges": "auto"},
+        }
+        model = PlateModel(params)
+        topo = model.topology_from_trajectory(self.traj)
+        cap = topo.aux["world_cap"]
+        assert cap >= 64 and (cap & (cap - 1)) == 0  # pow2
+        frame = {k: jnp.asarray(v[-1]) for k, v in self.traj.items()}
+        kw = dict(
+            obstacle_idx=jnp.asarray(topo.aux["obstacle_idx"]),
+            obstacle_valid=jnp.asarray(topo.aux["obstacle_valid"]),
+        )
+        args = (
+            frame["world_pos"],
+            frame["node_type"],
+            jnp.asarray(topo.senders),
+            jnp.asarray(topo.receivers),
+        )
+        ws_a, wr_a, wm_a = model._world_edges(*args, world_cap=cap, **kw)
+        ws_f, wr_f, wm_f = model._world_edges(*args, world_cap=1024, **kw)
+        to_set = lambda ws, wr, wm: set(
+            zip(np.asarray(ws)[np.asarray(wm) > 0].tolist(),
+                np.asarray(wr)[np.asarray(wm) > 0].tolist())
+        )
+        assert to_set(ws_a, wr_a, wm_a) == to_set(ws_f, wr_f, wm_f)
+        assert len(to_set(ws_a, wr_a, wm_a)) >= 1
+        # cap honors the data bound: 2x max hits fits
+        cnt = len(to_set(ws_f, wr_f, wm_f))
+        assert cap >= min(2 * cnt, 64)
+        # end-to-end: a train step + rollout run under the auto capacity
+        trainer = Trainer(model, params)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(topo)
+        key = jax.random.PRNGKey(1)
+        for frames in frames_to_batches(self.traj, 5):
+            key, k = jax.random.split(key)
+            ts, loss = step(ts, frames, k)
+        assert np.isfinite(float(loss))
+        _, mse = model.rollout(ts.model, topo, self.traj, num_steps=6)
+        assert np.isfinite(np.asarray(mse)).all()
+
 
 class TestNStepChunking:
     """Chunked n-step evaluation (base._n_step_chunked) is exact: any chunk

@@ -143,7 +143,7 @@ def model_config(hgn: bool) -> dict:
             "ricci": {"loops": 150, "tau": 150},
             "random": {"edge_amount": 100},
         },
-        "max_world_edges": 64,
+        "max_world_edges": "auto",
     }
 
 
