@@ -328,7 +328,7 @@ def _hgn_plate_throughput() -> dict:
     dt = (time.perf_counter() - t0) / iters
     # padded-capacity edge count: mesh + world-edge cap + pow2-padded
     # remote edge rows — what the program actually processes per step
-    world_cap = int((topo.aux or {}).get("world_cap", 1024))
+    world_cap = int(topo.world_cap or 1024)
     num_edges = (
         len(topo.senders)
         + world_cap

@@ -56,6 +56,11 @@ class Topology(NamedTuple):
     snd_gather_valid: Optional[np.ndarray] = None
     # model-specific static aux arrays (e.g. plate obstacle indices)
     aux: Optional[dict] = None
+    # static world-edge capacity (plate ``max_world_edges: auto`` — sized
+    # per trajectory from the data).  A plain int OUTSIDE ARRAY_FIELDS: it
+    # shapes traced arrays, so it must stay a compile-time constant on the
+    # topology-as-argument (bucketed) step path
+    world_cap: Optional[int] = None
     # banded-window plan for the fused Pallas MP-block kernel (built when
     # the numbering is banded enough; see ops/pallas/fused_block.py)
     band_plan: Optional[object] = None

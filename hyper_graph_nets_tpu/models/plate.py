@@ -127,11 +127,12 @@ class PlateModel(SystemModel):
         idx[: len(obstacle)] = obstacle
         valid[: len(obstacle)] = 1.0
         aux = {"obstacle_idx": idx, "obstacle_valid": valid}
+        cap = None
         if self.auto_world_edges:
-            aux["world_cap"] = self._world_cap_from_trajectory(
+            cap = self._world_cap_from_trajectory(
                 trajectory, obstacle, node_type
             )
-        return topo._replace(aux=aux)
+        return topo._replace(aux=aux, world_cap=cap)
 
     def _world_cap_from_trajectory(
         self, trajectory, obstacle: np.ndarray, node_type: np.ndarray
@@ -304,7 +305,7 @@ class PlateModel(SystemModel):
                 if "obstacle_valid" not in aux
                 else jnp.asarray(aux["obstacle_valid"])
             ),
-            world_cap=aux.get("world_cap"),
+            world_cap=topo.world_cap,
         )
         raw = (
             jax.vmap(lambda f: feat_fn(f))(frames) if batched else feat_fn(frames)
@@ -403,7 +404,7 @@ class PlateModel(SystemModel):
             "rollout",
             topo.senders.shape,
             topo.num_nodes,
-            (topo.aux or {}).get("world_cap"),
+            topo.world_cap,
             num_steps,
             self._expansion_key(expansion),
             self._static_shapes(static),
@@ -484,7 +485,7 @@ class PlateModel(SystemModel):
             "n_step",
             topo.senders.shape,
             topo.num_nodes,
-            (topo.aux or {}).get("world_cap"),
+            topo.world_cap,
             n_step,
             chunk,
             self._expansion_key(expansion),

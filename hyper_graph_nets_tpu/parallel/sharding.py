@@ -135,6 +135,7 @@ def shard_topology(
         # model-specific static aux (e.g. plate obstacle indices) is small
         # and stays replicated
         aux=topo.aux,
+        world_cap=topo.world_cap,
         band_plan=band_plan,
     )
 

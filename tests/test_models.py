@@ -279,7 +279,7 @@ class TestPlateModel:
         }
         model = PlateModel(params)
         topo = model.topology_from_trajectory(self.traj)
-        cap = topo.aux["world_cap"]
+        cap = topo.world_cap
         assert cap >= 64 and (cap & (cap - 1)) == 0  # pow2
         frame = {k: jnp.asarray(v[-1]) for k, v in self.traj.items()}
         kw = dict(
