@@ -166,8 +166,13 @@ def plate_trajectory(
     # world edge.
     side = max(3, nx // 9)
     n_obs = side * side
+    # snap the stamp center to the nearest grid node so the center stamp
+    # point has a plate node directly beneath it at EVERY resolution
+    # (coarse grids have no node near (0.5, 0.5) otherwise — e.g. nx=6)
+    cx = round(0.5 * (nx - 1)) / (nx - 1)
+    cy = round(0.5 * (ny - 1)) / (ny - 1)
     g = (np.arange(side) - (side - 1) / 2.0) * 0.04
-    ox, oy = np.meshgrid(0.5 + g, 0.5 + g, indexing="ij")
+    ox, oy = np.meshgrid(cx + g, cy + g, indexing="ij")
     obs_mesh = np.stack(
         [ox.ravel(), oy.ravel(), OBS_Z0 * np.ones(n_obs)], axis=1
     ).astype(np.float32)
@@ -203,7 +208,7 @@ def plate_trajectory(
     # (< world-edge radius), so pressed nodes stay inside radius-0.03 of
     # the stamp points: genuine world edges form once obs_z < 0.03 and
     # persist through the hold phase at OBS_Z_MIN
-    r = np.linalg.norm(plate_mesh[:, :2] - np.array([0.5, 0.5]), axis=1)
+    r = np.linalg.norm(plate_mesh[:, :2] - np.array([cx, cy]), axis=1)
     for t in range(T):
         obs_z = world[t, n_plate:, 2].min()
         target = (obs_z - OBS_CLEARANCE) * np.exp(-((r / 0.18) ** 2))
