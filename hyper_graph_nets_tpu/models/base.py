@@ -413,6 +413,14 @@ class SystemModel:
             num_nodes=int(trajectory["node_type"].shape[1]),
         )
 
+    def topology_content_key(self, trajectory: Dict[str, np.ndarray]) -> tuple:
+        """Extra cache-key content for models whose topology depends on more
+        than the mesh connectivity.  Mesh-only topologies return () — but a
+        plate topology under ``max_world_edges: auto`` carries a capacity
+        derived from the trajectory's MOTION, so same-mesh/different-motion
+        trajectories must not share a cached topology (see PlateModel)."""
+        return ()
+
     def forward(self, state: ModelState, graph: Graph) -> Array:
         return network_apply(state.params, graph, self.gnn_config)
 

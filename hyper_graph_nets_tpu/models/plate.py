@@ -53,7 +53,9 @@ class PlateModel(SystemModel):
         # sizes it per trajectory from the data (topology_from_trajectory
         # counts the radius query's hits per frame and takes 2x the max,
         # pow2-rounded, min 64) so padding tracks real contact instead of
-        # a blanket worst case.
+        # a blanket worst case.  Bucketed variable-mesh topologies
+        # (data/bucketing.pad_topology) carry no world_cap and fall back
+        # to the 1024 default — one shared static shape per bucket.
         raw = params["model"].get("max_world_edges", 1024)
         self.auto_world_edges = raw == "auto"
         self.max_world_edges = 1024 if self.auto_world_edges else int(raw)
@@ -160,6 +162,19 @@ class PlateModel(SystemModel):
         while cap < min(2 * max_hits, upper):
             cap *= 2
         return cap
+
+    def topology_content_key(self, trajectory) -> tuple:
+        """Under ``max_world_edges: auto`` the topology's static world-edge
+        capacity is a function of the trajectory's world positions; digest
+        them so topology/step caches never alias same-mesh trajectories
+        with different contact (core/mesh.mesh_fingerprint hashes cells
+        only)."""
+        if not self.auto_world_edges:
+            return ()
+        import hashlib
+
+        w = np.ascontiguousarray(np.asarray(trajectory["world_pos"]))
+        return (hashlib.sha1(w.tobytes()).hexdigest(),)
 
     def world_edge_receiver_nodes(self, frame, topo) -> Optional[np.ndarray]:
         """Host: NORMAL nodes within world-edge radius of an obstacle node

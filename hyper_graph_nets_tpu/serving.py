@@ -103,7 +103,7 @@ class Predictor:
 
         key = mesh_fingerprint(
             trajectory["cells"][0], trajectory["node_type"].shape[1]
-        )
+        ) + self.model.topology_content_key(trajectory)
         if key not in self._topo_cache:
             self._topo_cache[key] = self.model.topology_from_trajectory(
                 trajectory
@@ -159,7 +159,7 @@ class Predictor:
         # not reuse each other's compiled topology
         mesh_key = mesh_fingerprint(
             trajectory["cells"][0], trajectory["node_type"].shape[1]
-        )
+        ) + self.model.topology_content_key(trajectory)
         exp_key = expansion.fingerprint if expansion is not None else None
         key = ("serve_one_step", mesh_key, exp_key)
         model = self.model

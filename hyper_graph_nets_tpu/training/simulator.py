@@ -128,14 +128,21 @@ class MeshSimulator:
         self._key, k = jax.random.split(self._key)
         return self.trainer.init_train_state(k)
 
-    @staticmethod
-    def _mesh_key(tag: str, trajectory: Dict[str, np.ndarray]) -> Tuple:
-        """Cache key from the full mesh content (core.mesh.mesh_fingerprint)."""
+    def _mesh_key(self, tag: str, trajectory: Dict[str, np.ndarray]) -> Tuple:
+        """Cache key from the full mesh content (core.mesh.mesh_fingerprint)
+        plus any model-declared trajectory content the topology depends on
+        (plate ``max_world_edges: auto``: same-mesh trajectories with
+        different motion carry different world-edge capacities).  The "rcm"
+        tag skips the extra content — the permutation depends on
+        connectivity only."""
         from hyper_graph_nets_tpu.core.mesh import mesh_fingerprint
 
-        return (tag,) + mesh_fingerprint(
+        key = (tag,) + mesh_fingerprint(
             trajectory["cells"][0], trajectory["node_type"].shape[1]
         )
+        if tag != "rcm":
+            key += self.model.topology_content_key(trajectory)
+        return key
 
     def _topology(self, trajectory: Dict[str, np.ndarray]) -> Topology:
         key = self._mesh_key("topo", trajectory)

@@ -348,3 +348,40 @@ class TestNStepChunking:
         keys = [k for k in model._fn_cache if k[0] == "n_step"]
         assert len(keys) == 1
         assert keys[0][4] == 4  # chunk, not num_windows
+
+
+def test_auto_world_cap_no_same_mesh_aliasing():
+    """Two trajectories with the SAME mesh but different motion must not
+    share a cached topology under max_world_edges: auto — the capacity is
+    a function of the motion (mesh_fingerprint alone hashes cells only)."""
+    from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+
+    params = {
+        "task": {"dataset": "deforming_plate", "batch_size": 4,
+                 "n_timesteps": 8},
+        "model": {
+            **BASE_MODEL,
+            "field": "world_pos",
+            "history": False,
+            "size": 3,
+            "max_world_edges": "auto",
+        },
+    }
+    t_contact = add_targets(
+        synthetic.plate_trajectory(num_steps=10, nx=5, ny=5),
+        "world_pos", False,
+    )
+    # same mesh, no motion: obstacle held far above the plate (no contact)
+    t_far = {k: v.copy() for k, v in t_contact.items()}
+    nt = t_far["node_type"][0][:, 0]
+    for key in ("world_pos", "target|world_pos"):
+        t_far[key] = t_far[key].copy()
+        t_far[key][:, nt == NodeType.OBSTACLE, 2] = 0.5
+    sim = MeshSimulator(params, out_dir="/tmp/world_cap_alias_out")
+    topo_far = sim._topology(t_far)
+    topo_contact = sim._topology(t_contact)
+    assert len(sim._topo_cache) == 2  # distinct cache entries
+    model = PlateModel(params)
+    want_contact = model.topology_from_trajectory(t_contact).world_cap
+    assert topo_contact.world_cap == want_contact
+    assert topo_far.world_cap == 64  # no contact -> floor capacity
