@@ -139,16 +139,24 @@ def bucket_plan_dims(
 
 
 def pad_topology(model, trajectory: Dict[str, np.ndarray], num_nodes: int,
-                 num_edges: int, plan_dims: Optional[object] = None):
+                 num_edges: int, plan_dims: Optional[object] = None,
+                 topo_extras: Optional[dict] = None):
     """Build a Topology at the padded capacity with a padded edge dimension.
 
     ``plan_dims``: None = per-trajectory auto plan (legacy); ``"off"`` =
     no band plan; a :func:`bucket_plan_dims` dict = pinned static dims so
     every trajectory in the bucket compiles to one step signature.
+
+    ``topo_extras`` (model.bucket_topology_extras): bucket-stable dims for
+    model-specific aux — the plate's obstacle index capacity and world-edge
+    capacity floor — so the bucketed topologies keep the obstacle-restricted
+    radius query and data-sized world capacity of the unbucketed path.
     """
     from hyper_graph_nets_tpu.core.mesh import receivers_to_gather
 
     topo = model.build_topology(trajectory["cells"][0], num_nodes=num_nodes)
+    aux, world_cap = model.pad_topology_aux(trajectory, num_nodes, topo_extras)
+    topo = topo._replace(aux=aux, world_cap=world_cap)
     e = len(topo.senders)
     if e > num_edges:
         raise ValueError(f"trajectory has {e} edges > capacity {num_edges}")

@@ -413,6 +413,20 @@ class SystemModel:
             num_nodes=int(trajectory["node_type"].shape[1]),
         )
 
+    def bucket_topology_extras(self, trajectories) -> Optional[dict]:
+        """Bucket-level static dims for model-specific topology aux on the
+        bucketed (variable-mesh) path — scanned once per dataset like
+        data/bucketing.bucket_plan_dims.  None = the model has no extras."""
+        return None
+
+    def pad_topology_aux(
+        self, trajectory: Dict[str, np.ndarray], num_nodes: int,
+        extras: Optional[dict],
+    ) -> Tuple[Optional[dict], Optional[int]]:
+        """(aux, world_cap) for a bucketed topology (data/bucketing
+        .pad_topology).  Default: no aux, no capacity."""
+        return None, None
+
     def topology_content_key(self, trajectory: Dict[str, np.ndarray]) -> tuple:
         """Extra cache-key content for models whose topology depends on more
         than the mesh connectivity.  Mesh-only topologies return () — but a

@@ -53,12 +53,14 @@ class PlateModel(SystemModel):
         # sizes it per trajectory from the data (topology_from_trajectory
         # counts the radius query's hits per frame and takes 2x the max,
         # pow2-rounded, min 64) so padding tracks real contact instead of
-        # a blanket worst case.  Bucketed variable-mesh topologies
-        # (data/bucketing.pad_topology) carry no world_cap and fall back
-        # to the 1024 default — one shared static shape per bucket.
+        # a blanket worst case.  Bucketed variable-mesh topologies get a
+        # bucket-stable capacity via bucket_topology_extras/pad_topology_aux
+        # (per-trajectory capacity floored at the bucket-scan max, so the
+        # typical bucket shares one compiled step signature).
         raw = params["model"].get("max_world_edges", 1024)
         self.auto_world_edges = raw == "auto"
         self.max_world_edges = 1024 if self.auto_world_edges else int(raw)
+        self._world_cap_cache: Dict[str, int] = {}
 
     def geometry(self, frames):
         return frames["world_pos"], frames["mesh_pos"]
@@ -120,21 +122,31 @@ class PlateModel(SystemModel):
         [N, N] (obstacle senders only — plate.py:85-110)."""
         topo = super().topology_from_trajectory(trajectory)
         node_type = np.asarray(trajectory["node_type"][0])[:, 0]
-        obstacle = np.nonzero(node_type == NodeType.OBSTACLE)[0].astype(np.int32)
-        cap = 1
-        while cap < max(len(obstacle), 1):
-            cap *= 2
-        idx = np.zeros(cap, np.int32)
-        valid = np.zeros(cap, np.float32)
-        idx[: len(obstacle)] = obstacle
-        valid[: len(obstacle)] = 1.0
+        idx, valid = self._obstacle_aux(node_type)
         aux = {"obstacle_idx": idx, "obstacle_valid": valid}
-        cap = None
-        if self.auto_world_edges:
-            cap = self._world_cap_from_trajectory(
+        world_cap = (
+            self._cached_world_cap(trajectory) if self.auto_world_edges else None
+        )
+        return topo._replace(aux=aux, world_cap=world_cap)
+
+    def _cached_world_cap(self, trajectory) -> int:
+        """Memoized per-trajectory auto capacity (keyed by a digest of the
+        world positions, which the capacity is a pure function of) — the
+        O(T*O*N) counting scan runs once per distinct trajectory, not per
+        cache-key computation."""
+        import hashlib
+
+        w = np.ascontiguousarray(np.asarray(trajectory["world_pos"]))
+        h = hashlib.sha1(w.tobytes()).hexdigest()
+        if h not in self._world_cap_cache:
+            node_type = np.asarray(trajectory["node_type"][0])[:, 0]
+            obstacle = np.nonzero(node_type == NodeType.OBSTACLE)[0].astype(
+                np.int32
+            )
+            self._world_cap_cache[h] = self._world_cap_from_trajectory(
                 trajectory, obstacle, node_type
             )
-        return topo._replace(aux=aux, world_cap=cap)
+        return self._world_cap_cache[h]
 
     def _world_cap_from_trajectory(
         self, trajectory, obstacle: np.ndarray, node_type: np.ndarray
@@ -163,18 +175,68 @@ class PlateModel(SystemModel):
             cap *= 2
         return cap
 
+    @staticmethod
+    def _obstacle_aux(node_type: np.ndarray, cap: Optional[int] = None):
+        """(obstacle_idx, obstacle_valid) padded to ``cap`` (pow2 of the
+        count when None)."""
+        obstacle = np.nonzero(node_type == NodeType.OBSTACLE)[0].astype(
+            np.int32
+        )
+        obs_cap = 1
+        while obs_cap < max(len(obstacle), 1):
+            obs_cap *= 2
+        obs_cap = max(obs_cap, cap or 1)
+        idx = np.zeros(obs_cap, np.int32)
+        valid = np.zeros(obs_cap, np.float32)
+        idx[: len(obstacle)] = obstacle
+        valid[: len(obstacle)] = 1.0
+        return idx, valid
+
+    def bucket_topology_extras(self, trajectories) -> Optional[dict]:
+        """Bucket-stable dims for the plate's topology aux: one obstacle
+        capacity (pow2 of the bucket max) and, under ``max_world_edges:
+        auto``, a world-capacity floor — so the typical bucketed topology
+        shares ONE static signature, while an unscanned trajectory with
+        heavier contact gets a larger (still correct) capacity at the cost
+        of one extra compile (same contract as bucket_plan_dims)."""
+        obs_cap, world_floor = 1, 64
+        for traj in trajectories:
+            node_type = np.asarray(traj["node_type"][0])[:, 0]
+            n_obs = int((node_type == NodeType.OBSTACLE).sum())
+            while obs_cap < max(n_obs, 1):
+                obs_cap *= 2
+            if self.auto_world_edges:
+                world_floor = max(world_floor, self._cached_world_cap(traj))
+        return {
+            "obstacle_cap": obs_cap,
+            "world_floor": world_floor if self.auto_world_edges else None,
+        }
+
+    def pad_topology_aux(self, trajectory, num_nodes, extras):
+        node_type = np.asarray(trajectory["node_type"][0])[:, 0]
+        idx, valid = self._obstacle_aux(
+            node_type, (extras or {}).get("obstacle_cap")
+        )
+        world_cap = None
+        if self.auto_world_edges:
+            world_cap = max(
+                self._cached_world_cap(trajectory),
+                (extras or {}).get("world_floor") or 64,
+            )
+        return {"obstacle_idx": idx, "obstacle_valid": valid}, world_cap
+
     def topology_content_key(self, trajectory) -> tuple:
         """Under ``max_world_edges: auto`` the topology's static world-edge
-        capacity is a function of the trajectory's world positions; digest
-        them so topology/step caches never alias same-mesh trajectories
-        with different contact (core/mesh.mesh_fingerprint hashes cells
-        only)."""
+        capacity is a function of the trajectory's world positions, so
+        topology/step caches must not alias same-mesh trajectories with
+        different contact (core/mesh.mesh_fingerprint hashes cells only).
+        The key is the DERIVED capacity, not a motion digest: same-mesh
+        trajectories that agree on the capacity (the common case — e.g. a
+        served stream of same-mesh requests) share one cached topology and
+        one compiled step."""
         if not self.auto_world_edges:
             return ()
-        import hashlib
-
-        w = np.ascontiguousarray(np.asarray(trajectory["world_pos"]))
-        return (hashlib.sha1(w.tobytes()).hexdigest(),)
+        return (self._cached_world_cap(trajectory),)
 
     def world_edge_receiver_nodes(self, frame, topo) -> Optional[np.ndarray]:
         """Host: NORMAL nodes within world-edge radius of an obstacle node
@@ -451,13 +513,21 @@ class PlateModel(SystemModel):
                     prediction = self.update(
                         state, frame, self.forward(state, graph)
                     )
+                    # capacity saturation flag: a full world-edge mask means
+                    # the radius query MAY have truncated contact edges
+                    # (drifted rollout positions can exceed the data-derived
+                    # capacity); surfaced as a host-side warning below
+                    wmask = graph.edge_sets["world_edges"].mask
+                    sat = jnp.sum(wmask) >= wmask.shape[-1]
                     # kinematic nodes follow the ground truth (plate.py:328)
                     next_pos = jnp.where(mask, prediction, target_pos)
-                    return next_pos, next_pos
+                    return next_pos, (next_pos, sat)
 
-                carry, pred = jax.lax.scan(step, init["world_pos"], targets)
+                carry, (pred, sat) = jax.lax.scan(
+                    step, init["world_pos"], targets
+                )
                 mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
-                return pred, mse, carry
+                return pred, mse, carry, jnp.any(sat)
 
             return core
 
@@ -469,7 +539,18 @@ class PlateModel(SystemModel):
             init = {**init, "world_pos": start_carry}
         targets = jnp.asarray(trajectory["target|world_pos"][:num_steps])
         gt = jnp.asarray(trajectory["world_pos"][:num_steps])
-        pred, mse, carry = fn(state, init, targets, gt, static)
+        pred, mse, carry, saturated = fn(state, init, targets, gt, static)
+        if bool(saturated):
+            import warnings
+
+            warnings.warn(
+                "plate rollout: the world-edge capacity "
+                f"({topo.world_cap or self.max_world_edges}) was fully used "
+                "in at least one step — the radius query may have truncated "
+                "contact edges (the torch reference's dynamic query has no "
+                "capacity). Raise model.max_world_edges or the auto margin.",
+                stacklevel=2,
+            )
         traj_ops = {
             "faces": trajectory["cells"],
             "mesh_pos": trajectory["mesh_pos"],

@@ -68,17 +68,23 @@ class MeshSimulator:
         # set_capacity is called for variable-size datasets
         self.capacity: Optional[Tuple[int, int]] = None
         self._plan_dims: Optional[object] = None
+        self._topo_extras: Optional[dict] = None
 
     def set_capacity(
-        self, num_nodes: int, num_edges: int, plan_dims: Optional[object] = None
+        self, num_nodes: int, num_edges: int,
+        plan_dims: Optional[object] = None,
+        topo_extras: Optional[dict] = None,
     ) -> None:
         """Enable bucketing: all trajectories pad to one static shape.
 
         ``plan_dims`` (data/bucketing.bucket_plan_dims): pinned band-plan
         static dims so every bucketed mesh compiles to one step
-        signature; None keeps per-trajectory auto plans."""
+        signature; None keeps per-trajectory auto plans.  ``topo_extras``
+        (model.bucket_topology_extras): bucket-stable dims for
+        model-specific topology aux (plate obstacle/world capacities)."""
         self.capacity = (num_nodes, num_edges)
         self._plan_dims = plan_dims
+        self._topo_extras = topo_extras
 
     def _prepare(self, trajectory: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         trajectory = self._maybe_reorder(trajectory)
@@ -153,6 +159,7 @@ class MeshSimulator:
                 self._topo_cache[key] = pad_topology(
                     self.model, trajectory, *self.capacity,
                     plan_dims=self._plan_dims,
+                    topo_extras=self._topo_extras,
                 )
             else:
                 self._topo_cache[key] = self.model.topology_from_trajectory(

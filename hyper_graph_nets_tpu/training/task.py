@@ -120,33 +120,36 @@ class MeshTask(AbstractTask):
             except OSError:
                 pass
         if info.get("variable"):
+            # Scan with the simulator's own reorder (RCM relabeling changes
+            # the windows the plans see).  Bounded by the same trajectory
+            # limits as the capacity scan — a mesh outside the scanned set
+            # with wider windows/capacities just costs one extra compile,
+            # not a wrong result.
+            scanned = []
+            for split, limit in limits.items():
+                for i, traj in enumerate(
+                    get_data(self.config, split, data_dir=self._data_dir)
+                ):
+                    if i >= limit:
+                        break
+                    scanned.append(self.simulator._maybe_reorder(traj))
             plan_dims = None
             if self.config["model"].get("agg_vjp") == "fused":
                 # pin one band-plan signature for the whole bucket so the
-                # compiled step is reused across meshes (bucket_plan_dims).
-                # Scan with the simulator's own reorder (RCM relabeling
-                # changes the windows the plans see).  Bounded by the same
-                # trajectory limits as the capacity scan — a mesh outside
-                # the scanned set with wider windows just costs one extra
-                # compile, not a wrong result.
+                # compiled step is reused across meshes (bucket_plan_dims)
                 from hyper_graph_nets_tpu.data.bucketing import (
                     bucket_plan_dims,
                 )
 
-                scanned = []
-                for split, limit in limits.items():
-                    for i, traj in enumerate(
-                        get_data(self.config, split, data_dir=self._data_dir)
-                    ):
-                        if i >= limit:
-                            break
-                        scanned.append(self.simulator._maybe_reorder(traj))
                 plan_dims = bucket_plan_dims(
                     self.simulator.model, scanned,
                     info["max_nodes"], info["max_edges"],
                 )
             self.simulator.set_capacity(
-                info["max_nodes"], info["max_edges"], plan_dims=plan_dims
+                info["max_nodes"], info["max_edges"], plan_dims=plan_dims,
+                topo_extras=self.simulator.model.bucket_topology_extras(
+                    scanned
+                ),
             )
 
     def _train_data(self):

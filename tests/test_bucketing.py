@@ -263,11 +263,11 @@ def test_bucket_plan_dims_pins_one_signature():
 
 class TestBucketedPlate:
     """The real deforming_plate dataset has per-trajectory node counts, so
-    plate + bucketing IS the real-data scenario: the padded topology has no
-    static obstacle aux, and the world-edge query runs its dense [N, N]
-    branch with traced per-trajectory connectivity (mesh-edge dedup
-    included).  Padded nodes are PAD_NODE_TYPE (never NORMAL/OBSTACLE), so
-    they can neither send nor receive world edges."""
+    plate + bucketing IS the real-data scenario: pad_topology attaches the
+    model's obstacle aux at a bucket-stable capacity (pad_topology_aux), so
+    the obstacle-restricted [O, N] radius query runs on the bucketed path
+    too.  Padded nodes are PAD_NODE_TYPE (never NORMAL/OBSTACLE), so they
+    can neither send nor receive world edges."""
 
     def test_mixed_size_plate_training(self):
         from hyper_graph_nets_tpu.models.plate import PlateModel  # noqa: F401
@@ -304,12 +304,60 @@ class TestBucketedPlate:
         tp = pad_trajectory(t2, n)
         frame = {k: jnp.asarray(v[-1]) for k, v in tp.items() if k != "cells"}
         topo = sim._topology(tp)
+        assert topo.aux is not None and "obstacle_idx" in topo.aux
         ws, wr, wm = model._world_edges(
             frame["world_pos"], frame["node_type"],
             jnp.asarray(topo.senders), jnp.asarray(topo.receivers),
+            obstacle_idx=jnp.asarray(topo.aux["obstacle_idx"]),
+            obstacle_valid=jnp.asarray(topo.aux["obstacle_valid"]),
         )
         nt = np.asarray(tp["node_type"][-1][:, 0])
         valid = np.asarray(wm) > 0
         assert valid.sum() >= 1  # contact data produces edges here
         assert (nt[np.asarray(ws)[valid]] == 1).all()  # OBSTACLE senders
         assert (nt[np.asarray(wr)[valid]] == 0).all()  # NORMAL receivers
+
+    def test_bucketed_auto_world_capacity(self):
+        """max_world_edges: auto on the bucketed path: per-trajectory
+        capacity floored at the bucket max (one shared signature for the
+        typical bucket)."""
+        from hyper_graph_nets_tpu.models.plate import PlateModel
+
+        params = {
+            "task": {"dataset": "deforming_plate", "batch_size": 4,
+                     "n_timesteps": 8},
+            "model": {
+                **PARAMS["model"],
+                "field": "world_pos",
+                "history": False,
+                "max_world_edges": "auto",
+            },
+        }
+        t1 = add_targets(
+            synthetic.plate_trajectory(num_steps=10, nx=5, ny=5),
+            "world_pos", False,
+        )
+        t2 = add_targets(
+            synthetic.plate_trajectory(num_steps=10, nx=6, ny=5),
+            "world_pos", False,
+        )
+        model = PlateModel(params)
+        extras = model.bucket_topology_extras([t1, t2])
+        assert extras["world_floor"] >= 64
+        assert extras["obstacle_cap"] >= 9
+        sim = MeshSimulator(params, out_dir="/tmp/bucketing_autocap_out")
+        ts = sim.initialize()
+        n, e = trajectory_capacity([t1, t2])
+        sim.set_capacity(n, e, topo_extras=extras)
+        topo1, topo2 = sim._topology(pad_trajectory(t1, n)), sim._topology(
+            pad_trajectory(t2, n)
+        )
+        assert topo1.world_cap == extras["world_floor"]
+        assert topo2.world_cap == extras["world_floor"]
+        assert topo1.aux["obstacle_idx"].shape == topo2.aux[
+            "obstacle_idx"
+        ].shape
+        ts, l1 = sim.fit_trajectory(ts, t1)
+        ts, l2 = sim.fit_trajectory(ts, t2)
+        assert np.isfinite(l1).all() and np.isfinite(l2).all()
+        assert len(sim._step_cache) == 1  # one shared compiled step

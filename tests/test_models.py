@@ -367,21 +367,71 @@ def test_auto_world_cap_no_same_mesh_aliasing():
             "max_world_edges": "auto",
         },
     }
-    t_contact = add_targets(
+    t_light = add_targets(
         synthetic.plate_trajectory(num_steps=10, nx=5, ny=5),
         "world_pos", False,
     )
-    # same mesh, no motion: obstacle held far above the plate (no contact)
-    t_far = {k: v.copy() for k, v in t_contact.items()}
-    nt = t_far["node_type"][0][:, 0]
+    # same mesh, heavy contact: every obstacle node parked on the NORMAL
+    # cluster in one frame (81 hits -> capacity 256, vs 64 for the light
+    # trajectory)
+    t_heavy = {k: v.copy() for k, v in t_light.items()}
+    nt = t_heavy["node_type"][0][:, 0]
+    rng = np.random.RandomState(0)
     for key in ("world_pos", "target|world_pos"):
-        t_far[key] = t_far[key].copy()
-        t_far[key][:, nt == NodeType.OBSTACLE, 2] = 0.5
+        t_heavy[key] = t_heavy[key].copy()
+        # cluster all NORMAL and OBSTACLE nodes into one 0.01 ball in the
+        # last frame: 9 x 9 = 81 hits -> capacity 256
+        close = (nt == NodeType.NORMAL) | (nt == NodeType.OBSTACLE)
+        t_heavy[key][-1, close] = 0.005 * rng.rand(int(close.sum()), 3)
     sim = MeshSimulator(params, out_dir="/tmp/world_cap_alias_out")
-    topo_far = sim._topology(t_far)
-    topo_contact = sim._topology(t_contact)
+    topo_heavy = sim._topology(t_heavy)
+    topo_light = sim._topology(t_light)
+    assert topo_light.world_cap == 64  # light contact -> floor capacity
+    assert topo_heavy.world_cap > 64  # heavy contact -> larger capacity
     assert len(sim._topo_cache) == 2  # distinct cache entries
+    # and two same-capacity trajectories SHARE one entry (key is the
+    # derived capacity, not a motion digest)
+    t_light2 = add_targets(
+        synthetic.plate_trajectory(num_steps=10, nx=5, ny=5, seed=1),
+        "world_pos", False,
+    )
+    assert sim._topology(t_light2).world_cap == 64
+    assert len(sim._topo_cache) == 2
+
+
+def test_rollout_warns_on_world_capacity_saturation():
+    """A fully-used world-edge capacity during rollout raises a host-side
+    warning (possible truncation vs the reference's uncapped dynamic
+    query)."""
+    import warnings
+
+    params = {
+        "task": {"dataset": "deforming_plate"},
+        "model": {
+            **BASE_MODEL,
+            "field": "world_pos",
+            "history": False,
+            "size": 3,
+            "max_world_edges": 1,  # force saturation on any contact frame
+        },
+    }
+    traj = add_targets(
+        synthetic.plate_trajectory(num_steps=12, nx=5, ny=5),
+        "world_pos", False,
+    )
     model = PlateModel(params)
-    want_contact = model.topology_from_trajectory(t_contact).world_cap
-    assert topo_contact.world_cap == want_contact
-    assert topo_far.world_cap == 64  # no contact -> floor capacity
+    topo = model.topology_from_trajectory(traj)
+    state = model.init_state(jax.random.PRNGKey(0))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        model.rollout(state, topo, traj, num_steps=12)
+    assert any("world-edge capacity" in str(x.message) for x in w)
+    # generous capacity: no warning
+    params2 = {**params, "model": {**params["model"], "max_world_edges": 64}}
+    model2 = PlateModel(params2)
+    topo2 = model2.topology_from_trajectory(traj)
+    state2 = model2.init_state(jax.random.PRNGKey(0))
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        model2.rollout(state2, topo2, traj, num_steps=12)
+    assert not any("world-edge capacity" in str(x.message) for x in w2)
