@@ -8,7 +8,7 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p control_out/logs
 
-case "$1" in
+case "${1-}" in
   tpu)
     for sys in plate flag cylinder; do
       for run in ours-mgn ours-hgn; do

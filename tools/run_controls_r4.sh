@@ -12,7 +12,7 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p control_out/logs
 
-case "$1" in
+case "${1-}" in
   cpu)
     jobs_list=()
     for run in ref-mgn ref-hgn; do
