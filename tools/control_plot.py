@@ -6,7 +6,7 @@ band.  Colors follow the entity (fixed categorical slots, validated default
 palette from the dataviz reference; yellow's light-surface contrast caveat
 is covered by direct labels + the tables in BENCHMARKS.md).
 
-Usage: python tools/control_plot.py  -> control_out/control_r3_curves.png
+Usage: python tools/control_plot.py  -> control_out/control_r4_curves.png
 """
 from __future__ import annotations
 
@@ -105,6 +105,8 @@ def main():
         # direct labels at line ends, dodged vertically in log space so
         # labels never collide (relief rule for the low-contrast slots)
         ends.sort()
+        if not ends:  # panel with no completed runs yet (partial re-runs)
+            continue
         ys = [np.log10(e[0]) for e in ends]
         lo, hi = min(ys), max(ys)
         min_gap = max((hi - lo) * 0.12, 0.06)
@@ -138,7 +140,7 @@ def main():
         fontsize=11, color=TEXT, x=0.02, ha="left",
     )
     fig.tight_layout(rect=(0, 0.05, 1, 0.95))
-    out = os.path.join(REPO, "control_out", "control_r3_curves.png")
+    out = os.path.join(REPO, "control_out", "control_r4_curves.png")
     fig.savefig(out, dpi=140, facecolor=SURFACE)
     print("wrote", out)
 
