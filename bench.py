@@ -421,6 +421,29 @@ def main():
         )
         return
 
+    # Changed-metric-first ordering (round-4 verdict #2): when the MGN
+    # headline already has a cached number, measure the HGN plate phase
+    # FIRST so a deadline hit mid-MGN still leaves a fresh hgn_plate_*
+    # measurement in the parsed line.  Per-phase provenance rides on
+    # ``mgn_fresh``/``hgn_fresh``; ``stale`` means "no phase in this line
+    # was measured this run".
+    hgn: dict = {}
+
+    def _run_hgn_phase() -> None:
+        nonlocal hgn
+        if hgn or _remaining() <= 90:
+            return
+        try:
+            hgn = _hgn_plate_throughput()
+        except Exception as e:  # noqa: BLE001
+            print(f"# HGN phase failed: {e!r}", flush=True)
+
+    if (last_good or {}).get("value"):
+        _run_hgn_phase()
+        if hgn:
+            _emit({**last_good, **hgn, "stale": False,
+                   "mgn_fresh": False, "hgn_fresh": True})
+
     # MGN phase with compile-failure fallbacks: fused/512 -> fused/256 -> gather
     result = None
     for overrides in ({}, {"fused_chunk": 256}, {"agg_vjp": "gather"}):
@@ -433,10 +456,20 @@ def main():
         _emit(
             {
                 **(last_good or {}),
-                "stale": True,
+                **hgn,
+                "stale": not hgn,
+                "mgn_fresh": False,
+                "hgn_fresh": bool(hgn),
                 "error": "all MGN fallback tiers failed",
             }
         )
+        if hgn and last_good:
+            try:
+                with open(LAST_GOOD, "w") as f:
+                    json.dump({**last_good, **hgn}, f, indent=1)
+                    f.write("\n")
+            except Exception:
+                pass
         return
 
     baseline = (last_good or {}).get("baseline_torch_cpu_edges_per_s")
@@ -458,22 +491,22 @@ def main():
         "path": result["path"],
         "baseline_torch_cpu_edges_per_s": round(baseline, 1) if baseline else None,
         "stale": False,
+        "mgn_fresh": True,
     }
     _emit(out)  # headline lands before the HGN phase can hang
 
-    hgn = {}
-    if _remaining() > 90:
-        try:
-            hgn = _hgn_plate_throughput()
-        except Exception as e:  # noqa: BLE001
-            print(f"# HGN phase failed: {e!r}", flush=True)
+    _run_hgn_phase()
     if hgn:
-        out = {**out, **hgn}
+        out = {**out, **hgn, "hgn_fresh": True}
         _emit(out)
 
     try:
         with open(LAST_GOOD, "w") as f:
-            json.dump({k: v for k, v in out.items() if k != "stale"}, f, indent=1)
+            json.dump(
+                {k: v for k, v in out.items()
+                 if k not in ("stale", "mgn_fresh", "hgn_fresh")},
+                f, indent=1,
+            )
             f.write("\n")
     except Exception:
         pass
