@@ -39,6 +39,18 @@ def main(argv=None) -> int:
     scalars = task.get_scalars()
     for key, value in scalars.items():
         print(f"{key}: {value}")
+    # a poisoned/empty data stream must not exit 0 (round-4 verdict #3):
+    # NaN final scalars or no evaluation at all is a failed run
+    bad = [
+        k for k, v in scalars.items()
+        if isinstance(v, (int, float, np.floating)) and not np.isfinite(v)
+    ]
+    if not scalars or bad:
+        print(
+            f"ERROR: run produced {'no scalars' if not scalars else 'non-finite scalars: ' + ', '.join(bad)}",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

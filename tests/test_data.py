@@ -129,3 +129,77 @@ class TestLoader:
         a = loader.take(1)
         b = loader.take(1)
         np.testing.assert_array_equal(a[0]["world_pos"], b[0]["world_pos"])
+
+
+class TestPoisonedArtifacts:
+    """Corrupt/truncated data-dir artifacts must heal or fail loudly,
+    never silently train on nothing (round-4 verdict #3)."""
+
+    CONFIG = {
+        "params": {
+            "task": {
+                "dataset": "flag_minimal",
+                "synthetic": {"trajectories": 2, "num_steps": 8, "nx": 4, "ny": 4},
+            },
+            "model": {"field": "world_pos", "history": True},
+        }
+    }
+
+    def _generate(self, tmp_path):
+        get_data(self.CONFIG, "train", data_dir=str(tmp_path)).take(1)
+        return tmp_path / "flag_minimal" / "input"
+
+    def test_zero_byte_meta_regenerates(self, tmp_path):
+        in_dir = self._generate(tmp_path)
+        (in_dir / "meta.json").write_text("")  # the observed corpse
+        trajs = get_data(self.CONFIG, "train", data_dir=str(tmp_path)).take(5)
+        assert len(trajs) == 2
+        assert json.load(open(in_dir / "meta.json"))["features"]
+
+    def test_truncated_tfrecord_regenerates(self, tmp_path):
+        in_dir = self._generate(tmp_path)
+        raw = (in_dir / "train.tfrecord").read_bytes()
+        (in_dir / "train.tfrecord").write_bytes(raw[: len(raw) // 2])
+        # truncate mid-corpus, also corrupt the first length header so the
+        # cheap probe sees it
+        (in_dir / "valid.tfrecord").write_bytes(b"\x00" * 8)
+        trajs = get_data(self.CONFIG, "valid", data_dir=str(tmp_path)).take(5)
+        assert len(trajs) == 1
+
+    def test_mid_file_corruption_fails_loudly(self, tmp_path):
+        # first record intact (cheap probe passes), second record's length
+        # CRC flipped -> the stream must raise, and the prefetch thread
+        # must re-raise into the consumer instead of ending the iterator
+        in_dir = self._generate(tmp_path)
+        path = in_dir / "train.tfrecord"
+        raw = bytearray(path.read_bytes())
+        import struct as _struct
+
+        (length,) = _struct.unpack("<Q", bytes(raw[:8]))
+        second = 12 + length + 4
+        raw[second + 8] ^= 0xFF  # second record's length-CRC byte
+        path.write_bytes(bytes(raw))
+        loader = get_data(self.CONFIG, "train", data_dir=str(tmp_path))
+        with pytest.raises(RuntimeError, match="prefetch"):
+            list(loader)
+
+    def test_main_returns_nonzero_on_nan_scalars(self, monkeypatch):
+        import main as main_mod
+
+        class FakeTask:
+            def run_iterations(self):
+                pass
+
+            def get_scalars(self):
+                return {"test_position_error": float("nan")}
+
+        monkeypatch.setattr(
+            "hyper_graph_nets_tpu.training.task.get_task",
+            lambda config, data_dir=None: FakeTask(),
+        )
+        assert main_mod.main(["minimal", "--cpu"]) == 1
+
+    def test_atomic_writes_leave_no_tmp(self, tmp_path):
+        in_dir = self._generate(tmp_path)
+        leftovers = [p for p in os.listdir(in_dir) if ".tmp." in p]
+        assert leftovers == []
