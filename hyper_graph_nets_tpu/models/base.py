@@ -255,6 +255,15 @@ class SystemModel:
         # compiled-rollout cache: evaluation loops reuse jitted scan bodies
         # across epochs instead of retracing per call
         self._fn_cache: Dict[Any, Any] = {}
+        # host-side eval-metric accumulator: rollout/n-step computations add
+        # counters here (e.g. plate world-edge truncation); the simulator's
+        # evaluators drain it via pop_eval_metrics() after each pass
+        self.eval_metrics: Dict[str, float] = {}
+
+    def pop_eval_metrics(self) -> Dict[str, float]:
+        """Drain accumulated eval counters (see ``eval_metrics``)."""
+        out, self.eval_metrics = self.eval_metrics, {}
+        return out
 
     def _cached_jit(self, key, build):
         """Cache a jitted closure keyed by static call signature."""
@@ -271,9 +280,12 @@ class SystemModel:
         all sliding windows in one program; windows run ``chunk`` at a time
         (last chunk padded by repeating the final window, padding discarded on
         host).  ``fn(*make_chunk_inputs(idx))`` must return per-window per-step
-        losses ``[chunk, n+1]``.  Returns (mean over windows of per-window
-        mean, mean over windows of last-step loss) — identical semantics to
-        one full-width vmap (reference MeshSimulator.py:392-436).
+        losses ``[chunk, n+1]`` — or a ``(losses, counts)`` tuple where
+        ``counts [chunk]`` are per-window world-cap truncation counts, summed
+        into ``eval_metrics['world_edge_truncated']``.  Returns (mean over
+        windows of per-window mean, mean over windows of last-step loss) —
+        identical semantics to one full-width vmap (reference
+        MeshSimulator.py:392-436).
         """
         W = len(starts)
         if W == 0:
@@ -286,7 +298,16 @@ class SystemModel:
             valid = len(idx)
             if valid < chunk:
                 idx = np.concatenate([idx, np.repeat(idx[-1:], chunk - valid)])
-            losses = np.asarray(fn(*make_chunk_inputs(idx)))[:valid]
+            out = fn(*make_chunk_inputs(idx))
+            if isinstance(out, tuple):
+                losses, counts = out
+                self.eval_metrics["world_edge_truncated"] = (
+                    self.eval_metrics.get("world_edge_truncated", 0)
+                    + int(np.asarray(counts)[:valid].sum())
+                )
+            else:
+                losses = out
+            losses = np.asarray(losses)[:valid]
             mean_sum += float(losses.mean(axis=1).sum())
             last_sum += float(losses[:, -1].sum())
         return jnp.asarray(mean_sum / W), jnp.asarray(last_sum / W)

@@ -264,7 +264,7 @@ class PlateModel(SystemModel):
         obstacle_idx: Optional[Array] = None,
         obstacle_valid: Optional[Array] = None,
         world_cap: Optional[int] = None,
-    ) -> Tuple[Array, Array, Array]:
+    ) -> Tuple[Array, Array, Array, Array]:
         """Static-capacity world-edge extraction (jit-safe radius query).
 
         With static obstacle indices (plate topologies) only the [O, N]
@@ -274,6 +274,13 @@ class PlateModel(SystemModel):
 
         ``world_cap`` (static int) overrides ``self.max_world_edges`` —
         the per-trajectory capacity of ``max_world_edges: auto``.
+
+        Returns ``(senders, receivers, mask, truncated)`` where
+        ``truncated`` (int32 scalar) counts radius-query hits DROPPED by
+        the static capacity this frame.  The torch reference's dynamic
+        query never truncates (plate.py:85-110), so any nonzero count is
+        a deviation and is surfaced as a metric wherever this runs
+        (training JSONL, one-step/n-step eval, rollout warning).
         """
         cap = self.max_world_edges if world_cap is None else int(world_cap)
         n = world_pos.shape[0]
@@ -290,6 +297,7 @@ class PlateModel(SystemModel):
             o = obstacle_idx.shape[0]
             flat = conn.reshape(-1).astype(jnp.float32)
             k = min(cap, o * n)
+            hits = jnp.sum(conn).astype(jnp.int32)
             vals, idx = jax.lax.top_k(flat, k)
             mask = vals > 0
             ws = jnp.where(mask, jnp.take(obstacle_idx, idx // n), 0)
@@ -306,15 +314,17 @@ class PlateModel(SystemModel):
             conn = conn & obstacle[:, None] & normal[None, :]
             flat = conn.reshape(-1).astype(jnp.float32)
             k = min(cap, n * n)
+            hits = jnp.sum(conn).astype(jnp.int32)
             vals, idx = jax.lax.top_k(flat, k)
             mask = vals > 0
             ws = jnp.where(mask, idx // n, 0)
             wr = jnp.where(mask, idx % n, 0)
 
+        truncated = jnp.maximum(hits - k, 0)
         # sort by receiver (invalid entries pushed to the end)
         key = jnp.where(mask, wr * n + ws, n * n)
         order = jnp.argsort(key)
-        return ws[order], wr[order], mask[order].astype(jnp.float32)
+        return ws[order], wr[order], mask[order].astype(jnp.float32), truncated
 
     def frame_features(
         self,
@@ -343,7 +353,7 @@ class PlateModel(SystemModel):
             [norm_feature(rel_world), norm_feature(rel_mesh)], axis=-1
         )
 
-        ws, wr, wmask = self._world_edges(
+        ws, wr, wmask, wtrunc = self._world_edges(
             world_pos, node_type, senders, receivers, obstacle_idx,
             obstacle_valid, world_cap=world_cap,
         )
@@ -357,6 +367,7 @@ class PlateModel(SystemModel):
             "world_senders": ws,
             "world_receivers": wr,
             "world_mask": wmask,
+            "world_truncated": wtrunc,
         }
 
     def make_graph(
@@ -450,7 +461,14 @@ class PlateModel(SystemModel):
                 ),
             },
         )
-        aux = {"mesh_edge_features_raw": raw["mesh_edge_features"]}
+        aux = {
+            "mesh_edge_features_raw": raw["mesh_edge_features"],
+            # per-frame count of radius-query hits dropped by the static
+            # capacity ([B] batched / scalar unbatched) — the reference's
+            # dynamic query never truncates, so this must stay observable
+            # in every path that builds world edges
+            "world_truncated": raw["world_truncated"],
+        }
         return graph, aux, state
 
     # ------------------------------------------------------------------
@@ -502,7 +520,7 @@ class PlateModel(SystemModel):
                         "world_pos": cur_pos,
                         "target|world_pos": target_pos,
                     }
-                    graph, _, _ = self.make_graph(
+                    graph, g_aux, _ = self.make_graph(
                         state, topo, frame, False, batched=False
                     )
                     if expansion is not None:
@@ -513,12 +531,11 @@ class PlateModel(SystemModel):
                     prediction = self.update(
                         state, frame, self.forward(state, graph)
                     )
-                    # capacity saturation flag: a full world-edge mask means
-                    # the radius query MAY have truncated contact edges
-                    # (drifted rollout positions can exceed the data-derived
-                    # capacity); surfaced as a host-side warning below
-                    wmask = graph.edge_sets["world_edges"].mask
-                    sat = jnp.sum(wmask) >= wmask.shape[-1]
+                    # capacity saturation COUNT: radius-query hits dropped by
+                    # the static capacity this step (drifted rollout positions
+                    # can exceed the data-derived capacity); surfaced as a
+                    # host-side warning + eval metric below
+                    sat = g_aux["world_truncated"]
                     # kinematic nodes follow the ground truth (plate.py:328)
                     next_pos = jnp.where(mask, prediction, target_pos)
                     return next_pos, (next_pos, sat)
@@ -527,7 +544,7 @@ class PlateModel(SystemModel):
                     step, init["world_pos"], targets
                 )
                 mse = jnp.mean(jnp.square(gt - pred), axis=(-2, -1))
-                return pred, mse, carry, jnp.any(sat)
+                return pred, mse, carry, jnp.sum(sat)
 
             return core
 
@@ -539,16 +556,20 @@ class PlateModel(SystemModel):
             init = {**init, "world_pos": start_carry}
         targets = jnp.asarray(trajectory["target|world_pos"][:num_steps])
         gt = jnp.asarray(trajectory["world_pos"][:num_steps])
-        pred, mse, carry, saturated = fn(state, init, targets, gt, static)
-        if bool(saturated):
+        pred, mse, carry, truncated = fn(state, init, targets, gt, static)
+        truncated = int(truncated)
+        self.eval_metrics["world_edge_truncated"] = (
+            self.eval_metrics.get("world_edge_truncated", 0) + truncated
+        )
+        if truncated:
             import warnings
 
             warnings.warn(
-                "plate rollout: the world-edge capacity "
-                f"({topo.world_cap or self.max_world_edges}) was fully used "
-                "in at least one step — the radius query may have truncated "
-                "contact edges (the torch reference's dynamic query has no "
-                "capacity). Raise model.max_world_edges or the auto margin.",
+                f"plate rollout: {truncated} radius-query hits were dropped "
+                "by the static world-edge capacity "
+                f"({topo.world_cap or self.max_world_edges}) — the torch "
+                "reference's dynamic query has no capacity. Raise "
+                "model.max_world_edges or the auto margin.",
                 stacklevel=2,
             )
         traj_ops = {
@@ -600,7 +621,7 @@ class PlateModel(SystemModel):
                             "world_pos": cur,
                             "target|world_pos": target_pos,
                         }
-                        graph, _, _ = self.make_graph(
+                        graph, g_aux, _ = self.make_graph(
                             state, topo, frame, False, batched=False
                         )
                         if expansion is not None:
@@ -612,12 +633,14 @@ class PlateModel(SystemModel):
                             state, frame, self.forward(state, graph)
                         )
                         next_pos = jnp.where(mask, prediction, target_pos)
-                        return next_pos, next_pos
+                        return next_pos, (next_pos, g_aux["world_truncated"])
 
-                    _, pred = jax.lax.scan(step, cur_pos, targets)
-                    return jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
+                    _, (pred, sat) = jax.lax.scan(step, cur_pos, targets)
+                    losses = jnp.mean(jnp.square(gt_win - pred), axis=(-2, -1))
+                    return losses, jnp.sum(sat)
 
-                return jax.vmap(one_window)(cur0, tgt, gt)  # [chunk, n+1]
+                # ([chunk, n+1] losses, [chunk] world-cap truncation counts)
+                return jax.vmap(one_window)(cur0, tgt, gt)
 
             return core
 

@@ -188,7 +188,8 @@ class MeshSimulator:
             key = ("train_arg", topo.static_signature())
             if key not in self._step_cache:
                 self._step_cache[key] = self.trainer.make_train_step(
-                    topo, expansion=self.expansion, topo_arg=True
+                    topo, expansion=self.expansion, topo_arg=True,
+                    with_metrics=True,
                 )
             step = self._step_cache[key]
             if self.expansion is not None:
@@ -199,7 +200,7 @@ class MeshSimulator:
         key = self._mesh_key("train", trajectory)
         if key not in self._step_cache:
             self._step_cache[key] = self.trainer.make_train_step(
-                topo, expansion=self.expansion
+                topo, expansion=self.expansion, with_metrics=True
             )
         return self._step_cache[key]
 
@@ -209,7 +210,8 @@ class MeshSimulator:
             key = ("val_arg", topo.static_signature())
             if key not in self._val_cache:
                 self._val_cache[key] = self.trainer.make_validation_step(
-                    topo, expansion=self.expansion, topo_arg=True
+                    topo, expansion=self.expansion, topo_arg=True,
+                    with_metrics=True,
                 )
             val = self._val_cache[key]
             if self.expansion is not None:
@@ -218,7 +220,7 @@ class MeshSimulator:
         key = self._mesh_key("val", trajectory)
         if key not in self._val_cache:
             self._val_cache[key] = self.trainer.make_validation_step(
-                topo, expansion=self.expansion
+                topo, expansion=self.expansion, with_metrics=True
             )
         return self._val_cache[key]
 
@@ -267,6 +269,7 @@ class MeshSimulator:
         self._shuffle_rng.shuffle(jobs)
 
         device_losses: List[Any] = []
+        device_metrics: List[Any] = []
         dispatch_times: List[float] = []
         for start, end, static in jobs:
             # cells never reach the device (topology is pre-extracted); with
@@ -279,15 +282,23 @@ class MeshSimulator:
             self._key, k = jax.random.split(self._key)
             t0 = time.time()
             if static is not None:
-                tstate, loss = step(tstate, frames, k, static)
+                tstate, loss, metrics = step(tstate, frames, k, static)
             else:
-                tstate, loss = step(tstate, frames, k)
+                tstate, loss, metrics = step(tstate, frames, k)
             device_losses.append(loss)
+            device_metrics.append(metrics)
             dispatch_times.append(time.time() - t0)
 
         if device_losses:
             jax.block_until_ready(device_losses[-1])
         losses = [float(l) for l in device_losses]
+        # per-trajectory sums of the model's step counters (e.g. plate
+        # world-edge capacity truncation — must be visible in TRAINING, where
+        # noise can push contact past the data-derived capacity)
+        metric_sums: Dict[str, float] = {}
+        for m in device_metrics:
+            for name, v in m.items():
+                metric_sums[name] = metric_sums.get(name, 0.0) + float(v)
         if self.logger:
             for loss, dt in zip(losses, dispatch_times):
                 self.logger.log(
@@ -307,6 +318,7 @@ class MeshSimulator:
                     "edges_per_s": num_steps * num_edges / max(elapsed, 1e-9),
                     "edges_per_s_valid": num_steps * valid_edges
                     / max(elapsed, 1e-9),
+                    **metric_sums,
                 },
                 commit=False,
             )
@@ -323,6 +335,7 @@ class MeshSimulator:
         """Validation loss + de-normalized error (reference :262-332)."""
         losses: List[float] = []
         errors: List[float] = []
+        metric_sums: Dict[str, float] = {}
         for idx, traj in enumerate(trajectories):
             if n_trajectories is not None and idx >= n_trajectories:
                 break
@@ -336,14 +349,17 @@ class MeshSimulator:
                 static = self.expansion.prepare(self.model, frame0, topo)
             for frames in frames_to_batches(traj, self.batch_size, self.time_steps):
                 if static is not None:
-                    loss, err = val(tstate.model, frames, static)
+                    loss, err, metrics = val(tstate.model, frames, static)
                 else:
-                    loss, err = val(tstate.model, frames)
+                    loss, err, metrics = val(tstate.model, frames)
                 losses.append(float(loss))
                 errors.append(float(err))
+                for name, v in metrics.items():
+                    metric_sums[name] = metric_sums.get(name, 0.0) + float(v)
         result = {
             "validation_loss": float(np.mean(losses)) if losses else float("nan"),
             "position_error": float(np.mean(errors)) if errors else float("nan"),
+            **metric_sums,
         }
         if logging and self.logger:
             self.logger.log(result, commit=False)
@@ -389,17 +405,20 @@ class MeshSimulator:
             all_mse.append(np.asarray(mse))
             rollouts.append({k: np.asarray(v) for k, v in ops.items()})
         mean_curve = np.mean(np.stack(all_mse), axis=0) if all_mse else np.zeros(0)
+        eval_metrics = self.model.pop_eval_metrics()
         result = {
             "rollout_loss": float(mean_curve.mean()) if len(mean_curve) else float("nan"),
             "rollout_loss_last": float(mean_curve[-1]) if len(mean_curve) else float("nan"),
             "rollouts": rollouts,
             "mse_curve": mean_curve,
+            **eval_metrics,
         }
         if save:
             self.save_rollouts(rollouts)
         if logging and self.logger:
             self.logger.log(
-                {"rollout_loss": result["rollout_loss"]}, commit=False
+                {"rollout_loss": result["rollout_loss"], **eval_metrics},
+                commit=False,
             )
             self.logger.log_table(
                 "rollout_losses",
@@ -495,6 +514,7 @@ class MeshSimulator:
         result = {
             "n_step_loss": float(np.mean(means)) if means else float("nan"),
             "n_step_last_loss": float(np.mean(lasts)) if lasts else float("nan"),
+            **self.model.pop_eval_metrics(),
         }
         if logging and self.logger:
             self.logger.log(result, commit=False)

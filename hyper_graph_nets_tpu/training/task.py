@@ -245,12 +245,21 @@ class MeshTask(AbstractTask):
             num_timesteps=self.n_timesteps,
             logging=False,
         )
-        return {
+        scalars = {
             "test_loss": one_step["validation_loss"],
             "test_position_error": one_step["position_error"],
             "test_rollout_loss": rollout["rollout_loss"],
             "test_n_step_loss": n_step["n_step_loss"],
         }
+        # world-edge capacity truncation across all test evals (plate only;
+        # nonzero = the static capacity dropped radius-query hits somewhere,
+        # a deviation from the reference's uncapped dynamic query)
+        trunc = sum(
+            r.get("world_edge_truncated", 0) for r in (one_step, rollout, n_step)
+        )
+        if any("world_edge_truncated" in r for r in (one_step, rollout, n_step)):
+            scalars["test_world_edge_truncated"] = float(trunc)
+        return scalars
 
 
 def get_task(config: dict, data_dir: Optional[str] = None) -> AbstractTask:

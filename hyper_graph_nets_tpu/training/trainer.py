@@ -53,6 +53,20 @@ def add_noise(
     return out
 
 
+def graph_metrics(aux: Dict[str, Array]) -> Dict[str, Array]:
+    """Model counters from ``make_graph`` aux, summed over the batch.
+
+    Static structure per model (key presence decided at trace time): plate
+    exposes ``world_truncated`` — radius-query hits dropped by the static
+    world-edge capacity (deviation from the reference's uncapped dynamic
+    query, plate.py:85-110); other models contribute nothing.
+    """
+    metrics = {}
+    if "world_truncated" in aux:
+        metrics["world_edge_truncated"] = jnp.sum(aux["world_truncated"])
+    return metrics
+
+
 def batched_forward(model: SystemModel, params: Any, graph: Graph) -> Array:
     """vmap the network over the batch axis (topology shared)."""
     from hyper_graph_nets_tpu.nn.meshgraphnet import network_apply
@@ -99,7 +113,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def make_train_step(
-        self, topo: Topology, expansion=None, topo_arg: bool = False
+        self, topo: Topology, expansion=None, topo_arg: bool = False,
+        with_metrics: bool = False,
     ) -> Callable:
         """Build a jitted train step for a given static topology.
 
@@ -114,6 +129,14 @@ class Trainer:
         (num_nodes, field None-ness).  One compiled step then serves every
         same-signature mesh — required for cross-trajectory bucketing, where
         padded meshes share shapes but differ in connectivity.
+
+        With ``with_metrics=True`` the step returns ``(state, loss,
+        metrics)`` where ``metrics`` is a (possibly empty) dict of model
+        counters — currently plate's ``world_edge_truncated``, the number of
+        radius-query hits dropped by the static world-edge capacity in the
+        batch (the torch reference's dynamic query never truncates,
+        plate.py:85-110, so silent truncation must be observable in
+        training, not just rollout).
         """
         model = self.model
 
@@ -130,7 +153,7 @@ class Trainer:
             mask = model.loss_mask(frames["node_type"]).astype(out.dtype)[..., None]
             se = jnp.square(target - out) * mask
             loss = jnp.sum(se) / (jnp.sum(mask) * out.shape[-1])
-            return loss, mstate.normalizers
+            return loss, (mstate.normalizers, graph_metrics(aux))
 
         def _step(tstate: TrainState, frames, key, rmp_static, topo_t):
             key, nkey, ekey = jax.random.split(key, 3)
@@ -138,7 +161,9 @@ class Trainer:
                 frames = add_noise(
                     frames, model.field, model.noise_scale, model.noise_gamma, nkey
                 )
-            (loss, normalizers), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, (normalizers, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
                 tstate.model.params, tstate.model.normalizers, frames, rmp_static,
                 ekey, topo_t,
             )
@@ -151,6 +176,8 @@ class Trainer:
                 opt_state=opt_state,
                 step=tstate.step + 1,
             )
+            if with_metrics:
+                return new_state, loss, metrics
             return new_state, loss
 
         if topo_arg:
@@ -186,12 +213,14 @@ class Trainer:
         return train_step
 
     def make_validation_step(
-        self, topo: Topology, expansion=None, topo_arg: bool = False
+        self, topo: Topology, expansion=None, topo_arg: bool = False,
+        with_metrics: bool = False,
     ) -> Callable:
         """One-step evaluation: (normalized loss, de-normalized error).
 
         Parity with reference validation_step (src/model/flag.py:157-168):
-        no noise, no normalizer accumulation.  ``topo_arg`` as in
+        no noise, no normalizer accumulation.  ``topo_arg`` and
+        ``with_metrics`` (appends a metrics dict to the return) as in
         :meth:`make_train_step`.
         """
         model = self.model
@@ -217,6 +246,8 @@ class Trainer:
             pos_error = jnp.sum(jnp.square(diff) * m2) / (
                 jnp.sum(m2) * diff.shape[-1]
             )
+            if with_metrics:
+                return loss, pos_error, graph_metrics(aux)
             return loss, pos_error
 
         if topo_arg:

@@ -160,12 +160,12 @@ class TestBucketing:
         # oracle: a dedicated baked-topology step for t2's mesh
         oracle = sim.trainer.make_train_step(topo2)
         _, loss_oracle = oracle(fresh(), frames2, key)
-        _, loss_shared = step_t2(fresh(), frames2, key)
+        _, loss_shared, _ = step_t2(fresh(), frames2, key)
         np.testing.assert_allclose(
             float(loss_shared), float(loss_oracle), rtol=1e-5
         )
         # and it must NOT equal t1-connectivity output (different mesh)
-        _, loss_wrong = step_t1(fresh(), frames2, key)
+        _, loss_wrong, _ = step_t1(fresh(), frames2, key)
         assert abs(float(loss_wrong) - float(loss_oracle)) > 1e-6
 
     def test_mesh_cache_distinguishes_prefix_identical_meshes(self):
@@ -305,7 +305,7 @@ class TestBucketedPlate:
         frame = {k: jnp.asarray(v[-1]) for k, v in tp.items() if k != "cells"}
         topo = sim._topology(tp)
         assert topo.aux is not None and "obstacle_idx" in topo.aux
-        ws, wr, wm = model._world_edges(
+        ws, wr, wm, _ = model._world_edges(
             frame["world_pos"], frame["node_type"],
             jnp.asarray(topo.senders), jnp.asarray(topo.receivers),
             obstacle_idx=jnp.asarray(topo.aux["obstacle_idx"]),

@@ -184,7 +184,7 @@ class TestPlateModel:
         obs = np.where(nt[:, 0] == NodeType.OBSTACLE)[0]
         nrm = np.where(nt[:, 0] == NodeType.NORMAL)[0]
         wp[obs[0]] = wp[nrm[0]] + 0.01
-        ws, wr, wm = self.model._world_edges(
+        ws, wr, wm, _ = self.model._world_edges(
             jnp.asarray(wp),
             frame["node_type"],
             jnp.asarray(self.topo.senders),
@@ -236,9 +236,9 @@ class TestPlateModel:
             jnp.asarray(self.topo.senders),
             jnp.asarray(self.topo.receivers),
         )
-        ws_d, wr_d, wm_d = self.model._world_edges(*args)
+        ws_d, wr_d, wm_d, _ = self.model._world_edges(*args)
         aux = self.topo.aux
-        ws_r, wr_r, wm_r = self.model._world_edges(
+        ws_r, wr_r, wm_r, _ = self.model._world_edges(
             *args,
             obstacle_idx=jnp.asarray(aux["obstacle_idx"]),
             obstacle_valid=jnp.asarray(aux["obstacle_valid"]),
@@ -292,8 +292,8 @@ class TestPlateModel:
             jnp.asarray(topo.senders),
             jnp.asarray(topo.receivers),
         )
-        ws_a, wr_a, wm_a = model._world_edges(*args, world_cap=cap, **kw)
-        ws_f, wr_f, wm_f = model._world_edges(*args, world_cap=1024, **kw)
+        ws_a, wr_a, wm_a, _ = model._world_edges(*args, world_cap=cap, **kw)
+        ws_f, wr_f, wm_f, _ = model._world_edges(*args, world_cap=1024, **kw)
         to_set = lambda ws, wr, wm: set(
             zip(np.asarray(ws)[np.asarray(wm) > 0].tolist(),
                 np.asarray(wr)[np.asarray(wm) > 0].tolist())
@@ -399,10 +399,30 @@ def test_auto_world_cap_no_same_mesh_aliasing():
     assert len(sim._topo_cache) == 2
 
 
-def test_rollout_warns_on_world_capacity_saturation():
-    """A fully-used world-edge capacity during rollout raises a host-side
-    warning (possible truncation vs the reference's uncapped dynamic
-    query)."""
+def _heavy_contact_plate_traj(num_steps=12, nx=5, ny=5):
+    """Synthetic plate trajectory with all NORMAL+OBSTACLE nodes clustered
+    inside one world-edge radius in EVERY frame (including frame 0, so a
+    rollout's initial state already has the contact) — every NORMAL node is
+    a radius-query hit of every obstacle node (heavy contact)."""
+    traj = add_targets(
+        synthetic.plate_trajectory(num_steps=num_steps, nx=nx, ny=ny),
+        "world_pos", False,
+    )
+    traj = {k: v.copy() for k, v in traj.items()}
+    nt = traj["node_type"][0][:, 0]
+    close = (nt == NodeType.NORMAL) | (nt == NodeType.OBSTACLE)
+    rng = np.random.RandomState(0)
+    ball = 0.005 * rng.rand(int(close.sum()), 3)
+    for key in ("world_pos", "target|world_pos"):
+        traj[key][:, close] = ball
+    return traj
+
+
+def test_rollout_warns_on_world_capacity_truncation():
+    """Radius-query hits dropped by the world-edge capacity during rollout
+    raise a host-side warning with the dropped count, and the count lands
+    in model.eval_metrics (the reference's dynamic query is uncapped,
+    plate.py:85-110 — truncation is a deviation and must be visible)."""
     import warnings
 
     params = {
@@ -412,13 +432,10 @@ def test_rollout_warns_on_world_capacity_saturation():
             "field": "world_pos",
             "history": False,
             "size": 3,
-            "max_world_edges": 1,  # force saturation on any contact frame
+            "max_world_edges": 1,  # heavy contact must overflow this
         },
     }
-    traj = add_targets(
-        synthetic.plate_trajectory(num_steps=12, nx=5, ny=5),
-        "world_pos", False,
-    )
+    traj = _heavy_contact_plate_traj()
     model = PlateModel(params)
     topo = model.topology_from_trajectory(traj)
     state = model.init_state(jax.random.PRNGKey(0))
@@ -426,8 +443,9 @@ def test_rollout_warns_on_world_capacity_saturation():
         warnings.simplefilter("always")
         model.rollout(state, topo, traj, num_steps=12)
     assert any("world-edge capacity" in str(x.message) for x in w)
-    # generous capacity: no warning
-    params2 = {**params, "model": {**params["model"], "max_world_edges": 64}}
+    assert model.pop_eval_metrics()["world_edge_truncated"] > 0
+    # generous capacity: nothing dropped, no warning, zero counter
+    params2 = {**params, "model": {**params["model"], "max_world_edges": 256}}
     model2 = PlateModel(params2)
     topo2 = model2.topology_from_trajectory(traj)
     state2 = model2.init_state(jax.random.PRNGKey(0))
@@ -435,3 +453,68 @@ def test_rollout_warns_on_world_capacity_saturation():
         warnings.simplefilter("always")
         model2.rollout(state2, topo2, traj, num_steps=12)
     assert not any("world-edge capacity" in str(x.message) for x in w2)
+    assert model2.pop_eval_metrics()["world_edge_truncated"] == 0
+    # a single hit exactly filling capacity 1 drops nothing -> no warning
+    # (the pre-round-5 full-mask heuristic would false-positive here)
+    traj_light = add_targets(
+        synthetic.plate_trajectory(num_steps=12, nx=5, ny=5),
+        "world_pos", False,
+    )
+    model3 = PlateModel(params)
+    topo3 = model3.topology_from_trajectory(traj_light)
+    state3 = model3.init_state(jax.random.PRNGKey(0))
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        model3.rollout(state3, topo3, traj_light, num_steps=12)
+    assert not any("world-edge capacity" in str(x.message) for x in w3)
+
+
+def test_world_cap_truncation_visible_in_training_and_eval(tmp_path):
+    """VERDICT r4 #6: the truncation COUNT threads through the jitted train
+    step, one-step validation, n-step eval, and the training JSONL — not
+    just rollout."""
+    import json
+
+    from hyper_graph_nets_tpu.training.simulator import MeshSimulator
+
+    params = {
+        "task": {
+            "dataset": "deforming_plate", "batch_size": 4, "n_timesteps": 8,
+        },
+        "model": {
+            **BASE_MODEL,
+            "field": "world_pos",
+            "history": False,
+            "size": 3,
+            "max_world_edges": 2,  # heavy contact overflows this
+        },
+    }
+    traj = _heavy_contact_plate_traj()
+    model = PlateModel(params)
+    topo = model.topology_from_trajectory(traj)
+    trainer = Trainer(model, params)
+    ts = trainer.init_train_state(jax.random.PRNGKey(0))
+    # step-level: metrics ride out of jit with the loss
+    step = trainer.make_train_step(topo, with_metrics=True)
+    frames = {k: jnp.asarray(v[4:8]) for k, v in traj.items() if k != "cells"}
+    ts, loss, metrics = step(ts, frames, jax.random.PRNGKey(1))
+    assert int(metrics["world_edge_truncated"]) > 0
+    val = trainer.make_validation_step(topo, with_metrics=True)
+    vloss, verr, vmetrics = val(ts.model, frames)
+    assert int(vmetrics["world_edge_truncated"]) > 0
+    # simulator-level: the counter lands in the metrics JSONL
+    sim = MeshSimulator(params, out_dir=str(tmp_path))
+    tstate = sim.initialize()
+    tstate, _ = sim.fit_trajectory(tstate, traj)
+    one = sim.one_step_evaluator(tstate, [traj])
+    assert one["world_edge_truncated"] > 0
+    nstep = sim.n_step_evaluator(tstate, [traj], n_step=3)
+    assert nstep["world_edge_truncated"] > 0
+    sim.logger.close()
+    jsonl = [
+        json.loads(line)
+        for p in tmp_path.glob("*.metrics.jsonl")
+        for line in open(p)
+    ]
+    logged = [r for r in jsonl if "world_edge_truncated" in r]
+    assert logged and any(r["world_edge_truncated"] > 0 for r in logged)
