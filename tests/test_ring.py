@@ -31,6 +31,24 @@ def _reset_interpret_state():
     yield
 
 
+def _assert_close_with_retry(compute, want, rtol, atol):
+    """Pallas interpret mode emulates the RDMA semaphores with host
+    threads; under CPU load (full-suite runs beside other processes) a
+    rare scheduling race can corrupt one lap.  Retry once after a FULL
+    interpret-state reset (a corrupted semaphore/vector-clock state would
+    otherwise poison the second attempt too) — a deterministic kernel bug
+    fails both attempts; the real-TPU path has no such emulation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    for attempt in range(2):
+        got = np.asarray(compute())
+        if np.allclose(got, want, rtol=rtol, atol=atol):
+            break
+        pltpu.reset_tpu_interpret_mode_state()
+        jax.clear_caches()
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
 class TestRingAllReduce:
     @pytest.mark.parametrize("n_dev", [2, 4, 8])
     def test_ring_psum_matches_psum(self, n_dev):
@@ -50,15 +68,9 @@ class TestRingAllReduce:
             check_vma=False,
         )
         want = np.asarray(jax.jit(ref)(x))
-        # Pallas interpret mode emulates the RDMA semaphores with host
-        # threads; under load (full-suite runs) a rare scheduling race can
-        # corrupt one lap.  Retry once — a deterministic kernel bug would
-        # fail both attempts; the real-TPU path has no such emulation.
-        for attempt in range(2):
-            got = np.asarray(jax.jit(ring)(x))
-            if np.allclose(got, want, rtol=1e-5, atol=1e-6):
-                break
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        _assert_close_with_retry(
+            lambda: jax.jit(ring)(x), want, rtol=1e-5, atol=1e-6
+        )
 
     def test_segmented_combine_ops(self):
         """One ring pass with per-segment sum/max/min == three collectives."""
@@ -88,7 +100,9 @@ class TestRingAllReduce:
                 )
             )(x)
         )
-        np.testing.assert_allclose(run(ring), run(ref), rtol=1e-5, atol=1e-6)
+        _assert_close_with_retry(
+            lambda: run(ring), run(ref), rtol=1e-5, atol=1e-6
+        )
 
 
 class TestRingHaloForward:
@@ -122,8 +136,10 @@ class TestRingHaloForward:
         graph, _, _ = model.make_graph(tstate.model, stopo, frame, False, batched=False)
 
         fwd = halo.make_halo_forward(model, mesh, ring=True)
-        out_ring = np.asarray(fwd(tstate.model.params, graph))
 
         graph_u, _, _ = model.make_graph(tstate.model, topo, frame, False, batched=False)
         out_ref = np.asarray(model.forward(tstate.model, graph_u))
-        np.testing.assert_allclose(out_ring, out_ref, rtol=1e-4, atol=1e-5)
+        _assert_close_with_retry(
+            lambda: fwd(tstate.model.params, graph), out_ref,
+            rtol=1e-4, atol=1e-5,
+        )

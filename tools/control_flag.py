@@ -200,6 +200,33 @@ def run_reference(hgn: bool, seed: int = 0) -> dict:
 # ---------------------------------------------------------------------------
 # our driver
 # ---------------------------------------------------------------------------
+def _ablate(cfg: dict) -> dict:
+    """Seed-variance ablation knobs (VERDICT r4 #7: flag ours-HGN seed-2
+    instability).  CONTROL_ABLATE flips exactly ONE variable against the
+    shipped ours-hgn numerics; set CONTROL_TAG alongside so results land
+    in distinct files:
+      hyper_noise0 — no hyper-node feature noise (suspect: hyper-noise RNG
+                     placement differs from reference
+                     hierarchical_connector.py:47-50)
+      f32          — full float32 compute (suspect: bf16 in the cluster tier)
+      kmeans       — kmeans clustering (suspect: spectral label instability
+                     across reclusters)
+    """
+    mode = os.environ.get("CONTROL_ABLATE", "")
+    if not mode:
+        return cfg
+    cfg = dict(cfg)
+    if mode == "hyper_noise0":
+        cfg["rmp"] = dict(cfg["rmp"], hyper_noise=0.0)
+    elif mode == "f32":
+        cfg["compute_dtype"] = None
+    elif mode == "kmeans":
+        cfg["rmp"] = dict(cfg["rmp"], clustering="kmeans")
+    else:
+        raise SystemExit(f"unknown CONTROL_ABLATE={mode!r}")
+    return cfg
+
+
 def run_ours(hgn: bool, seed: int = 0, shipped: bool = False) -> dict:
     from hyper_graph_nets_tpu.training.simulator import MeshSimulator
     from tools.control_common import shipped_overrides
@@ -207,8 +234,10 @@ def run_ours(hgn: bool, seed: int = 0, shipped: bool = False) -> dict:
     train, test = make_data()
     params = {
         "task": {"dataset": "flag_simple", "batch_size": 1},
-        "model": (shipped_overrides(model_config(hgn)) if shipped
-                  else model_config(hgn)),
+        "model": _ablate(
+            shipped_overrides(model_config(hgn)) if shipped
+            else model_config(hgn)
+        ),
         "random_seed": seed,
     }
     sim = MeshSimulator(params, out_dir=os.path.join(OUT_DIR, "ours_flag_tmp"))
