@@ -500,11 +500,18 @@ def _fwd_kernel(
         + b3_ref[...].astype(cdt)
     )
 
-    # --- LayerNorm (f32 statistics, VPU)
+    # --- LayerNorm (f32 statistics).  The row means run as ones-vector
+    # matmuls on the MXU instead of cross-lane VPU reductions: the kernel
+    # is bound by the serial VPU chain between its matmuls (ROADMAP 5c),
+    # so every lane reduction moved onto the (underutilized) MXU shortens
+    # the critical path.
     z32 = z3.astype(jnp.float32)
-    mu = jnp.mean(z32, axis=-1, keepdims=True)
+    ones_l = jnp.ones((L, 1), jnp.float32)
+    mu = jnp.dot(z32, ones_l, preferred_element_type=jnp.float32) * (1.0 / L)
     xc = z32 - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    var = jnp.dot(
+        xc * xc, ones_l, preferred_element_type=jnp.float32
+    ) * (1.0 / L)
     xhat = xc * jax.lax.rsqrt(var + 1e-5)
     o = xhat * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
         jnp.float32
@@ -512,25 +519,26 @@ def _fwd_kernel(
     e2 = e + o.astype(cdt)  # [PB*T, L]
     e2_ref[...] = e2.reshape(PB, Tc, L).astype(e2_ref.dtype)
 
-    # --- pna aggregation of e2 (segmented scans, cf. segment_pna);
-    # the count scan is mask-only and shared across the PB elements
+    # --- pna aggregation of e2.  SUM and COUNT are exact one-hot matmuls
+    # against the full segment membership (padded edges carry the WR
+    # sentinel row, so they select nothing); only MAX/MIN still need the
+    # segmented scan + last-edge selection, which halves the scan's serial
+    # VPU work vs scanning sum/count too.
     valid = m_col > 0.0
     riota = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
-    dws, dmxs, dmns = [], [], []
-    cw = m_col
+    rrow = rcvrow_ref[0]  # [1, T] window-local
+    ohseg = (
+        jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rrow
+    ).astype(cdt)  # [WR, T] full membership
+    dmxs, dmns = [], []
     for i in range(PB):
         d = e2[i * Tc : (i + 1) * Tc].astype(jnp.float32)
-        dws.append(d * m_col)
         dmxs.append(jnp.where(valid, d, -_BIG))
         dmns.append(jnp.where(valid, d, _BIG))
     k = 1
     for _ in range(scan_steps):
         same = (rcv_col == pltpu.roll(rcv_col, k, axis=0)) & (riota >= k)
-        cw = jnp.where(same, cw + pltpu.roll(cw, k, axis=0), cw)
         for i in range(PB):
-            dws[i] = jnp.where(
-                same, dws[i] + pltpu.roll(dws[i], k, axis=0), dws[i]
-            )
             dmxs[i] = jnp.where(
                 same, jnp.maximum(dmxs[i], pltpu.roll(dmxs[i], k, axis=0)),
                 dmxs[i],
@@ -541,38 +549,43 @@ def _fwd_kernel(
             )
         k *= 2
 
-    rrow = rcvrow_ref[0]  # [1, T] window-local
     ciota = jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
     nxt = pltpu.roll(rrow, Tc - 1, axis=1)
-    is_last = ((rrow != nxt) | (ciota == Tc - 1)).astype(jnp.float32)
-    ohl = (
-        jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rrow
-    ).astype(jnp.float32) * is_last  # [WR, T]
+    is_last = ((rrow != nxt) | (ciota == Tc - 1)).astype(cdt)
+    ohl = ohseg * is_last  # [WR, T] last-edge selector
 
-    # one selection matmul carries all PB elements' partials (lane concat)
+    # two matmuls carry all PB elements (lane concat): segment sums ride
+    # the full membership one-hot, max/min partials ride the last-edge
+    # selector after the scan
+    sums_in = jnp.concatenate(
+        [e2[i * Tc : (i + 1) * Tc] for i in range(PB)], axis=-1
+    ) if PB > 1 else e2  # [T, PB*L] (already cdt)
+    sums = jnp.dot(
+        ohseg, sums_in, preferred_element_type=jnp.float32
+    )  # [WR, PB*L]
     vals = jnp.concatenate(
-        [jnp.concatenate([dws[i], dmxs[i], dmns[i]], axis=-1) for i in range(PB)],
+        [jnp.concatenate([dmxs[i], dmns[i]], axis=-1) for i in range(PB)],
         axis=-1,
-    ).astype(cdt)  # [T, PB*3L]
+    ).astype(cdt)  # [T, PB*2L]
     sel = jnp.dot(
-        ohl.astype(cdt), vals, preferred_element_type=jnp.float32
-    )  # [WR, PB*3L]
+        ohl, vals, preferred_element_type=jnp.float32
+    )  # [WR, PB*2L]
     cnt = jnp.dot(
-        ohl.astype(cdt), cw.astype(cdt), preferred_element_type=jnp.float32
+        ohseg, m_col.astype(cdt), preferred_element_type=jnp.float32
     )  # [WR, 1]
-    pres = jnp.sum(ohl, axis=1, keepdims=True) > 0.0
+    pres = cnt > 0.0
 
     for i in range(PB):
-        sel_i = sel[:, i * 3 * L : (i + 1) * 3 * L]
+        sel_i = sel[:, i * 2 * L : (i + 1) * 2 * L]
         cur = agg_ref[i, pl.ds(rlo, WR), :]
-        new_sum = cur[:, :L] + sel_i[:, :L]
+        new_sum = cur[:, :L] + sums[:, i * L : (i + 1) * L]
         new_cnt = cur[:, L : 2 * L] + jnp.broadcast_to(cnt, (WR, L))
         new_mx = jnp.where(
-            pres, jnp.maximum(cur[:, 2 * L : 3 * L], sel_i[:, L : 2 * L]),
+            pres, jnp.maximum(cur[:, 2 * L : 3 * L], sel_i[:, :L]),
             cur[:, 2 * L : 3 * L],
         )
         new_mn = jnp.where(
-            pres, jnp.minimum(cur[:, 3 * L :], sel_i[:, 2 * L :]),
+            pres, jnp.minimum(cur[:, 3 * L :], sel_i[:, L :]),
             cur[:, 3 * L :],
         )
         agg_ref[i, pl.ds(rlo, WR), :] = jnp.concatenate(
@@ -909,9 +922,13 @@ def _bwd_kernel(
         + b3_ref[...].astype(cdt)
     )
     z32 = z3.astype(f32)
-    mu = jnp.mean(z32, axis=-1, keepdims=True)
+    # row means as ones-vector MXU matmuls (not cross-lane VPU reductions);
+    # MUST match _fwd_kernel's LN statistics bit-for-bit so the tie compare
+    # and remat recomputation stay exact on the kernel-forward path
+    ones_l = jnp.ones((L, 1), f32)
+    mu = jnp.dot(z32, ones_l, preferred_element_type=f32) * (1.0 / L)
     xc = z32 - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    var = jnp.dot(xc * xc, ones_l, preferred_element_type=f32) * (1.0 / L)
     inv_sigma = jax.lax.rsqrt(var + 1e-5)
     xhat = xc * inv_sigma
     lns = lns_ref[0:1, :].astype(f32)  # lns_ref block is [2, L]: [lns; lnb]
@@ -958,11 +975,13 @@ def _bwd_kernel(
         de2_ref[...].astype(f32).reshape(PB * Tc, L) + route_all
     )  # [PB*T, L] f32
 
-    # --- LayerNorm backward (f32)
+    # --- LayerNorm backward (f32; row means on the MXU as above)
     do = de2_tot
     dxhat = do * lns
-    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    m1 = jnp.dot(dxhat, ones_l, preferred_element_type=f32) * (1.0 / L)
+    m2 = jnp.dot(
+        dxhat * xhat, ones_l, preferred_element_type=f32
+    ) * (1.0 / L)
     dz3 = ((dxhat - m1 - xhat * m2) * inv_sigma).astype(cdt)
 
     # --- MLP backward (transposed weights precomputed on host)

@@ -57,7 +57,7 @@ def ring_all_reduce_segments(
         if op not in _COMBINE:
             raise ValueError(f"unknown combine op {op!r}")
 
-    def kernel(in_ref, out_ref, comm, send_sem, recv_sem):
+    def kernel(in_ref, out_ref, comm, send_sem, recv_sem, credit):
         from hyper_graph_nets_tpu.ops.pallas.fused_overlap import (
             _mesh_neighbors,
         )
@@ -88,6 +88,19 @@ def ring_all_reduce_segments(
         def body(step, _):
             send_slot = jax.lax.rem(step, 2)
             recv_slot = jax.lax.rem(step + 1, 2)
+
+            # flow control: two buffers alone do NOT prevent a fast left
+            # neighbor from running 2 steps ahead and overwriting our
+            # comm[recv_slot] before we forwarded it (observed as corrupt
+            # laps under load in interpret mode — a real schedule race, not
+            # emulation noise).  Before writing the right neighbor's
+            # comm[recv_slot] we must hold its credit saying that slot was
+            # forwarded; the first write of each slot (steps 0 and 1 -> the
+            # pre-ring barrier) needs none.
+            @pl.when(step > 0)
+            def _acquire():
+                pltpu.semaphore_wait(credit.at[recv_slot], 1)
+
             rdma = pltpu.make_async_remote_copy(
                 src_ref=comm.at[send_slot],
                 dst_ref=comm.at[recv_slot],
@@ -98,13 +111,25 @@ def ring_all_reduce_segments(
             )
             rdma.start()
             rdma.wait()
+
+            # our comm[send_slot] is forwarded (send_sem waited above):
+            # grant the left neighbor its credit to rewrite that slot at
+            # its step+2.  Skip the last grants nobody will consume so all
+            # semaphores drain to zero at kernel exit.
+            @pl.when(step < n - 2)
+            def _grant():
+                pltpu.semaphore_signal(
+                    credit.at[send_slot], inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
             for lo, hi, op in segments:
                 out_ref[lo:hi, :] = _COMBINE[op](
                     out_ref[lo:hi, :], comm[recv_slot][lo:hi, :]
                 )
             return _
 
-        jax.lax.fori_loop(0, jax.lax.axis_size(axis_name) - 1, body, None)
+        jax.lax.fori_loop(0, n - 1, body, None)
 
     return pl.pallas_call(
         kernel,
@@ -115,6 +140,7 @@ def ring_all_reduce_segments(
             pltpu.VMEM((2,) + x.shape, x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR((2,)),  # per-slot flow-control credits
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
