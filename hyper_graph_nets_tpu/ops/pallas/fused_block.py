@@ -521,15 +521,16 @@ def _fwd_kernel(
 
     # --- pna aggregation of e2.  SUM and COUNT are exact one-hot matmuls
     # against the full segment membership (padded edges carry the WR
-    # sentinel row, so they select nothing); only MAX/MIN still need the
-    # segmented scan + last-edge selection, which halves the scan's serial
-    # VPU work vs scanning sum/count too.
+    # sentinel column, so they select nothing); only MAX/MIN still need
+    # the segmented scan + last-edge selection, which halves the scan's
+    # serial VPU work vs scanning sum/count too.  All selection matmuls
+    # contract over the EDGE dim of the same [T, WR] one-hot the gather
+    # already built (dot_general with lhs-transposed dims) — no [WR, T]
+    # transposed one-hot is ever materialized on the VPU, and the
+    # last-edge mask applies to the [T, .] values column instead of a
+    # [WR, T] selector matrix.
     valid = m_col > 0.0
     riota = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
-    rrow = rcvrow_ref[0]  # [1, T] window-local
-    ohseg = (
-        jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rrow
-    ).astype(cdt)  # [WR, T] full membership
     dmxs, dmns = [], []
     for i in range(PB):
         d = e2[i * Tc : (i + 1) * Tc].astype(jnp.float32)
@@ -549,30 +550,28 @@ def _fwd_kernel(
             )
         k *= 2
 
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)
-    nxt = pltpu.roll(rrow, Tc - 1, axis=1)
-    is_last = ((rrow != nxt) | (ciota == Tc - 1)).astype(cdt)
-    ohl = ohseg * is_last  # [WR, T] last-edge selector
+    # last edge of each segment, column layout: receiver changes at t+1
+    nxt_col = pltpu.roll(rcv_col, Tc - 1, axis=0)
+    is_last_col = (
+        (rcv_col != nxt_col) | (riota == Tc - 1)
+    ).astype(jnp.float32)
 
-    # two matmuls carry all PB elements (lane concat): segment sums ride
-    # the full membership one-hot, max/min partials ride the last-edge
-    # selector after the scan
+    selT = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     sums_in = jnp.concatenate(
         [e2[i * Tc : (i + 1) * Tc] for i in range(PB)], axis=-1
     ) if PB > 1 else e2  # [T, PB*L] (already cdt)
-    sums = jnp.dot(
-        ohseg, sums_in, preferred_element_type=jnp.float32
-    )  # [WR, PB*L]
-    vals = jnp.concatenate(
-        [jnp.concatenate([dmxs[i], dmns[i]], axis=-1) for i in range(PB)],
-        axis=-1,
-    ).astype(cdt)  # [T, PB*2L]
-    sel = jnp.dot(
-        ohl, vals, preferred_element_type=jnp.float32
-    )  # [WR, PB*2L]
-    cnt = jnp.dot(
-        ohseg, m_col.astype(cdt), preferred_element_type=jnp.float32
-    )  # [WR, 1]
+    sums = selT(oh_r, sums_in)  # [WR, PB*L]
+    vals = (
+        jnp.concatenate(
+            [jnp.concatenate([dmxs[i], dmns[i]], axis=-1) for i in range(PB)],
+            axis=-1,
+        )
+        * is_last_col
+    ).astype(cdt)  # [T, PB*2L], non-last edges zeroed
+    sel = selT(oh_r, vals)  # [WR, PB*2L]
+    cnt = selT(oh_r, m_col.astype(cdt))  # [WR, 1]
     pres = cnt > 0.0
 
     for i in range(PB):
@@ -1008,30 +1007,21 @@ def _bwd_kernel(
     a1_ref[...] = a1.reshape(PB, Tc, L).astype(a1_ref.dtype)
     a2_ref[...] = a2.reshape(PB, Tc, L).astype(a2_ref.dtype)
 
-    # --- node-part cotangents: transposed one-hot scatter (RMW, race-free
-    # on the sequential TPU grid; subwindows are serialized within the
-    # invocation, so overlapping sender windows accumulate correctly)
-    srow = sndrow_ref[0]  # [SB, Ts] subwindow-local sender ids
-    ohs_T = [
-        (
-            jax.lax.broadcasted_iota(jnp.int32, (W, Ts), 0)
-            == srow[j : j + 1, :]
-        ).astype(cdt)  # [W, Ts]
-        for j in range(SB)
-    ]
-    ohr_T = (
-        jax.lax.broadcasted_iota(jnp.int32, (WR, Tc), 0) == rcvrow_ref[0]
-    ).astype(cdt)  # [WR, T]
+    # --- node-part cotangents: the "transposed one-hot scatter" contracts
+    # the FORWARD one-hots over their edge dim (dot_general lhs-transposed
+    # dims) — no transposed one-hot is materialized on the VPU.  RMW is
+    # race-free on the sequential TPU grid; subwindows are serialized
+    # within the invocation, so overlapping sender windows accumulate
+    # correctly.
+    selT = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
     for i in range(PB):
         dh_i = dh[i * Tc : (i + 1) * Tc]
-        drp_w = jnp.dot(ohr_T, dh_i, preferred_element_type=f32)
+        drp_w = selT(oh_r, dh_i)  # [WR, L]
         drp_ref[i, pl.ds(rlo, WR), :] = drp_ref[i, pl.ds(rlo, WR), :] + drp_w
         for j in range(SB):
-            dsp_w = jnp.dot(
-                ohs_T[j],
-                dh_i[j * Ts : (j + 1) * Ts],
-                preferred_element_type=f32,
-            )
+            dsp_w = selT(oh_s[j], dh_i[j * Ts : (j + 1) * Ts])  # [W, L]
             dsp_ref[i, pl.ds(ws_j[j], W), :] = (
                 dsp_ref[i, pl.ds(ws_j[j], W), :] + dsp_w
             )
