@@ -75,7 +75,14 @@ def _ensure_synthetic(dataset: str, in_dir: str, overrides: dict) -> None:
         path = os.path.join(in_dir, f"{split}.tfrecord")
         if _tfrecord_ok(path) and _meta_ok(in_dir):
             continue
-        if os.path.exists(path) or os.path.exists(meta_path):
+        # warn only about actually-corrupt artifacts: a split file that
+        # exists but fails the probe, or a meta.json that exists but does
+        # not parse.  (A fresh dir hits this branch for valid/test simply
+        # because the train split wrote meta.json first — that is normal
+        # first-time generation, not corruption.)
+        if os.path.exists(path) or (
+            os.path.exists(meta_path) and not _meta_ok(in_dir)
+        ):
             print(
                 f"# regenerating {dataset}/{split}: corrupt or truncated "
                 f"artifact found in {in_dir}",
