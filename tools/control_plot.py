@@ -1,4 +1,4 @@
-"""Render the round-3 multi-seed control curves PNG.
+"""Render the round-5 multi-seed control curves PNG.
 
 One panel per system (plate / flag / cylinder / plate-big): aligned rollout
 MSE (log y) vs epoch; per run a mean line over seeds with a min-max seed
@@ -6,7 +6,7 @@ band.  Colors follow the entity (fixed categorical slots, validated default
 palette from the dataviz reference; yellow's light-surface contrast caveat
 is covered by direct labels + the tables in BENCHMARKS.md).
 
-Usage: python tools/control_plot.py  -> control_out/control_r4_curves.png
+Usage: python tools/control_plot.py  -> control_out/control_r5_curves.png
 """
 from __future__ import annotations
 
@@ -43,10 +43,10 @@ LABELS = {
 }
 
 PANELS = [
-    ("plate", "", "plate (153 nodes, 10 ep)"),
+    ("plate", "", "plate contact (153 nodes, 10 ep)"),
     ("flag", "", "flag (144 nodes, 10 ep)"),
     ("cylinder", "", "cylinder (10 ep; ref-HGN crashes)"),
-    ("plate", "big", "plate LARGE (1105 nodes, 4 ep)"),
+    ("plate", "big15", "plate LARGE contact (1105 nodes, 15 ep)"),
 ]
 
 
@@ -135,12 +135,12 @@ def main():
         fontsize=8.5, labelcolor=TEXT,
     )
     fig.suptitle(
-        "Controlled accuracy, round 3 — mean over 3 seeds (band = min-max); "
+        "Controlled accuracy, round 5 (contact data) — mean over seeds (band = min-max); "
         "ours = shipped bf16 + fused kernel on TPU",
         fontsize=11, color=TEXT, x=0.02, ha="left",
     )
     fig.tight_layout(rect=(0, 0.05, 1, 0.95))
-    out = os.path.join(REPO, "control_out", "control_r4_curves.png")
+    out = os.path.join(REPO, "control_out", "control_r5_curves.png")
     fig.savefig(out, dpi=140, facecolor=SURFACE)
     print("wrote", out)
 
