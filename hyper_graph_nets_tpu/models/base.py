@@ -376,6 +376,7 @@ class SystemModel:
             agg_vjp=self.params["model"].get("agg_vjp", "xla"),
             fused_fwd=self.params["model"].get("fused_fwd", "kernel"),
             fused_pb=self.params["model"].get("fused_pb", 1),
+            fused_pb_bwd=self.params["model"].get("fused_pb_bwd", 1),
         )
 
     def init_state(self, key: Array) -> ModelState:

@@ -117,10 +117,16 @@ class GNNConfig:
     # Pallas fwd kernel) or 'xla' (XLA forward + Pallas backward; see
     # _fused_update_and_agg)
     fused_fwd: str = "kernel"
-    # batch elements per fused-kernel grid step (grid amortization,
-    # config model.fused_pb): >1 shrinks the serialized grid at ~pb x the
-    # per-step VMEM footprint; pair with fused_chunk/the scoped-VMEM limit
+    # batch elements per fused-kernel FORWARD grid step (grid
+    # amortization, config model.fused_pb): >1 shrinks the serialized
+    # forward grid at ~pb x the per-step VMEM footprint — the forward
+    # shares its one-hots / packed scan / selection matmul across the pb
+    # elements; pair with fused_chunk/the scoped-VMEM limit
     fused_pb: int = 1
+    # independent backward knob (config model.fused_pb_bwd, default 1):
+    # the backward's per-element routing/RMW chains and f32 residents
+    # grow with pb, so amortizing it measures SLOWER (ROADMAP 5c round-5)
+    fused_pb_bwd: int = 1
     # edge sets whose receivers are non-decreasing with masked edges at the
     # tail (core.mesh.cells_to_edges lexsorts by receiver) — eligible for
     # the 'sorted' Pallas aggregation path
@@ -383,11 +389,12 @@ def _fused_update_and_agg(
             feats, sp, rp, weights, es.band_plan, num_total,
             es.senders, es.receivers, es.gather_idx, es.gather_valid,
         )
-    elif cfg.fused_pb > 1:
+    elif cfg.fused_pb > 1 or cfg.fused_pb_bwd > 1:
         # grid amortization: the custom-vmap wrapper hands the REAL frame
         # batch to one kernel launch (pb elements per grid step)
         e2, agg = fused_edge_block_batchable(
-            feats, sp, rp, weights, es.band_plan, num_total, pb=cfg.fused_pb
+            feats, sp, rp, weights, es.band_plan, num_total,
+            pb=cfg.fused_pb, pb_bwd=cfg.fused_pb_bwd,
         )
     else:
         e2, agg = fused_edge_block(

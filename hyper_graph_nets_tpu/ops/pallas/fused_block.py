@@ -531,23 +531,24 @@ def _fwd_kernel(
     # [WR, T] selector matrix.
     valid = m_col > 0.0
     riota = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
-    dmxs, dmns = [], []
+    # packed [max | -min] carry: the negated min turns the combine into a
+    # single maximum, so every scan step is ONE roll + ONE maximum + ONE
+    # where over a [T, PB*2L] array instead of 2*PB of each — the scan is
+    # the kernel's longest serial VPU chain (ROADMAP 5c).  Negation is
+    # exact in floats, so the final extrema are bit-identical.
+    dmm_parts = []
     for i in range(PB):
         d = e2[i * Tc : (i + 1) * Tc].astype(jnp.float32)
-        dmxs.append(jnp.where(valid, d, -_BIG))
-        dmns.append(jnp.where(valid, d, _BIG))
+        dmm_parts.append(
+            jnp.where(valid, jnp.concatenate([d, -d], axis=-1), -_BIG)
+        )
+    dmm = jnp.concatenate(dmm_parts, axis=-1) if PB > 1 else dmm_parts[0]
     k = 1
     for _ in range(scan_steps):
         same = (rcv_col == pltpu.roll(rcv_col, k, axis=0)) & (riota >= k)
-        for i in range(PB):
-            dmxs[i] = jnp.where(
-                same, jnp.maximum(dmxs[i], pltpu.roll(dmxs[i], k, axis=0)),
-                dmxs[i],
-            )
-            dmns[i] = jnp.where(
-                same, jnp.minimum(dmns[i], pltpu.roll(dmns[i], k, axis=0)),
-                dmns[i],
-            )
+        dmm = jnp.where(
+            same, jnp.maximum(dmm, pltpu.roll(dmm, k, axis=0)), dmm
+        )
         k *= 2
 
     # last edge of each segment, column layout: receiver changes at t+1
@@ -556,22 +557,31 @@ def _fwd_kernel(
         (rcv_col != nxt_col) | (riota == Tc - 1)
     ).astype(jnp.float32)
 
-    selT = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    # ONE packed selection matmul for sum/extrema/count: contract the edge
+    # dim of the forward [T, WR] one-hot against the lane-concat
+    # [e2 | (max|min)*is_last | mask] instead of three serial MXU issues;
+    # the sign row flips the carried -min back to min, and each output
+    # column only ever sums its own lane column, so the split results are
+    # bit-identical to the separate matmuls.
+    sign_row = jnp.concatenate(
+        [jnp.ones((1, L), jnp.float32), jnp.full((1, L), -1.0, jnp.float32)]
+        * PB,
+        axis=-1,
     )
     sums_in = jnp.concatenate(
         [e2[i * Tc : (i + 1) * Tc] for i in range(PB)], axis=-1
     ) if PB > 1 else e2  # [T, PB*L] (already cdt)
-    sums = selT(oh_r, sums_in)  # [WR, PB*L]
-    vals = (
-        jnp.concatenate(
-            [jnp.concatenate([dmxs[i], dmns[i]], axis=-1) for i in range(PB)],
-            axis=-1,
-        )
-        * is_last_col
-    ).astype(cdt)  # [T, PB*2L], non-last edges zeroed
-    sel = selT(oh_r, vals)  # [WR, PB*2L]
-    cnt = selT(oh_r, m_col.astype(cdt))  # [WR, 1]
+    vals = (dmm * sign_row * is_last_col).astype(cdt)  # [T, PB*2L]
+    packed = jnp.concatenate(
+        [sums_in, vals, m_col.astype(cdt)], axis=-1
+    )  # [T, PB*3L + 1]
+    out = jax.lax.dot_general(
+        oh_r, packed, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [WR, PB*3L + 1]
+    sums = out[:, : PB * L]
+    sel = out[:, PB * L : 3 * PB * L]
+    cnt = out[:, 3 * PB * L :]
     pres = cnt > 0.0
 
     for i in range(PB):
@@ -709,6 +719,7 @@ def fused_edge_block(
     num_nodes: int,
     interpret: Optional[bool] = None,
     pb: int = 1,
+    pb_bwd: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """Fused edge update + pna aggregation.
 
@@ -717,8 +728,12 @@ def fused_edge_block(
     (blocks._update_edge_features), and ``agg`` is the [.., num_nodes, 4L]
     f32 pna aggregate of ``e2``.
 
-    ``pb`` = batch elements per grid step (grid amortization): the kernels'
-    serialized grid shrinks by pb at ~pb x the per-step VMEM footprint.
+    ``pb`` = batch elements per FORWARD grid step (grid amortization): the
+    forward grid shrinks by pb at ~pb x the per-step VMEM footprint, and
+    the one-hots / packed scan / selection matmul are shared across the pb
+    elements.  ``pb_bwd`` is the backward kernel's independent knob
+    (default 1: the backward's per-element chains grow with pb, so
+    amortizing it measures slower — ROADMAP 5c round-5).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -730,7 +745,10 @@ def fused_edge_block(
     e_pad, sp_pad, rp_pad = _pad_to_plan(e3, sp3, rp3, plan, num_nodes)
     e2, agg = _fused_vjp(
         e_pad, sp_pad, rp_pad, _edge_weights(weights), plan, interpret,
-        max(1, min(pb, e3.shape[0])),
+        (
+            max(1, min(pb, e3.shape[0])),
+            max(1, min(1 if pb_bwd is None else pb_bwd, e3.shape[0])),
+        ),
     )
     e2 = e2[:, :E, :]
     agg = agg[:, :num_nodes, :]
@@ -748,6 +766,7 @@ def fused_edge_block_batchable(
     num_nodes: int,
     interpret: Optional[bool] = None,
     pb: int = 1,
+    pb_bwd: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """:func:`fused_edge_block` that collapses an outer ``vmap`` into the
     kernel's batch grid dimension.
@@ -755,14 +774,16 @@ def fused_edge_block_batchable(
     Under plain vmap, pallas_call's batching rule adds a size-1 batch block
     per sample, so ``pb`` (batch elements per grid step) never sees the
     real batch.  This wrapper's custom-vmap rule hands the whole [B, E, L]
-    batch to one kernel launch, shrinking the serialized grid by ``pb``.
+    batch to one kernel launch, shrinking the serialized grid by ``pb``
+    (forward; ``pb_bwd`` independently for the backward, default 1).
     """
     from jax import custom_batching
 
     @custom_batching.custom_vmap
     def call(e, sp, rp, weights, plan):
         return fused_edge_block(
-            e, sp, rp, weights, plan, num_nodes, interpret, pb
+            e, sp, rp, weights, plan, num_nodes, interpret, pb,
+            pb_bwd=pb_bwd,
         )
 
     @call.def_vmap
@@ -786,7 +807,8 @@ def fused_edge_block_batchable(
                 "fused_edge_block_batchable: batched weights/plan"
             )
         out = fused_edge_block(
-            e, sp, rp, weights, plan, num_nodes, interpret, pb
+            e, sp, rp, weights, plan, num_nodes, interpret, pb,
+            pb_bwd=pb_bwd,
         )
         return out, (True, True)
 
@@ -798,12 +820,18 @@ def _fused_vjp(e_pad, sp, rp, weights, plan, interpret, pb):
     # ``plan`` is formally differentiable (it rides the Graph pytree, so
     # its arrays may be tracers under jit/scan); its cotangents are zeros
     # (float0 for the integer index arrays) — see _fused_bwd.
-    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb)
+    # ``pb`` is a static (pb_fwd, pb_bwd) pair: grid amortization pays off
+    # asymmetrically — the forward shares its one-hots, packed scan and
+    # selection matmul across the pb elements (measured −29% at pb=3),
+    # while the backward's per-element routing/RMW chains and f32
+    # residents grow with pb (measured slower past 1) — so the two
+    # kernels get independent knobs.
+    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb[0])
     return e2, agg
 
 
 def _fused_fwd(e_pad, sp, rp, weights, plan, interpret, pb):
-    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb)
+    e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb[0])
     return (e2, agg), (e_pad, sp, rp, weights, agg, plan)
 
 
@@ -1027,20 +1055,23 @@ def _bwd_kernel(
             )
 
     # --- bias / LN parameter gradients (row 0..4 of dpar); summed over the
-    # PB elements into row-block 0 (the caller sums over the batch anyway)
+    # PB elements into row-block 0 (the caller sums over the batch anyway).
+    # ONE ones-vector column-sum matmul over the lane-concat of the five
+    # gradient streams instead of five serial MXU issues (ROADMAP 5c);
+    # each output column sums only its own lane column, so the sliced rows
+    # are bit-identical to the separate matmuls.
     ones = jnp.ones((1, PB * Tc), f32)
-    upd = jnp.concatenate(
-        [
-            jnp.dot(ones, dh.astype(f32), preferred_element_type=f32),
-            jnp.dot(ones, dz2.astype(f32), preferred_element_type=f32),
-            jnp.dot(ones, dz3.astype(f32), preferred_element_type=f32),
-            jnp.dot(ones, do * xhat, preferred_element_type=f32),
-            jnp.dot(ones, do, preferred_element_type=f32),
-        ],
+    big = jnp.concatenate(
+        [dh.astype(f32), dz2.astype(f32), dz3.astype(f32), do * xhat, do],
+        axis=-1,
+    )  # [PB*T, 5L]
+    upd = jnp.dot(ones, big, preferred_element_type=f32)  # [1, 5L]
+    rows = jnp.concatenate(
+        [upd[:, r * L : (r + 1) * L] for r in range(5)]
+        + [jnp.zeros((3, L), f32)],
         axis=0,
-    )  # [5, L]
-    pad = jnp.zeros((3, L), f32)
-    dpar_ref[0] = dpar_ref[0] + jnp.concatenate([upd, pad], axis=0)
+    )  # [8, L]
+    dpar_ref[0] = dpar_ref[0] + rows
 
 
 def _bwd_call(
@@ -1231,7 +1262,7 @@ def _fused_bwd(interpret, pb, res, g):
     de2_bar, dagg_bar = g
     de, dsp, drp, dweights = _bwd_core(
         e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret,
-        pb=pb,
+        pb=pb[1],
     )
     return (de, dsp, drp, dweights, _zero_plan_cotangent(plan))
 
