@@ -377,6 +377,7 @@ class SystemModel:
             fused_fwd=self.params["model"].get("fused_fwd", "kernel"),
             fused_pb=self.params["model"].get("fused_pb", 1),
             fused_pb_bwd=self.params["model"].get("fused_pb_bwd", 1),
+            fused_bwd=self.params["model"].get("fused_bwd", "remat"),
         )
 
     def init_state(self, key: Array) -> ModelState:

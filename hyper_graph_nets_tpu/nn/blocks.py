@@ -127,6 +127,12 @@ class GNNConfig:
     # the backward's per-element routing/RMW chains and f32 residents
     # grow with pb, so amortizing it measures SLOWER (ROADMAP 5c round-5)
     fused_pb_bwd: int = 1
+    # backward flavor (config model.fused_bwd): 'remat' (default — the
+    # backward kernel re-runs the forward chunk) or 'stream' (the
+    # under-grad forward saves a1/a2 + LN stats and the backward skips
+    # the remat chain).  stream wins only where compute outweighs its
+    # extra HBM traffic — measured faster at chunk 256, slower at 512+
+    fused_bwd: str = "remat"
     # edge sets whose receivers are non-decreasing with masked edges at the
     # tail (core.mesh.cells_to_edges lexsorts by receiver) — eligible for
     # the 'sorted' Pallas aggregation path
@@ -394,11 +400,12 @@ def _fused_update_and_agg(
         # batch to one kernel launch (pb elements per grid step)
         e2, agg = fused_edge_block_batchable(
             feats, sp, rp, weights, es.band_plan, num_total,
-            pb=cfg.fused_pb, pb_bwd=cfg.fused_pb_bwd,
+            pb=cfg.fused_pb, pb_bwd=cfg.fused_pb_bwd, bwd=cfg.fused_bwd,
         )
     else:
         e2, agg = fused_edge_block(
-            feats, sp, rp, weights, es.band_plan, num_total
+            feats, sp, rp, weights, es.band_plan, num_total,
+            bwd=cfg.fused_bwd,
         )
     if cfg.cd is not None:
         agg = agg.astype(cfg.cd)

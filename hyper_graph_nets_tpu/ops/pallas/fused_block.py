@@ -410,7 +410,10 @@ def _fwd_kernel(
     lnb_ref,  # (1, L)
     e2_ref,  # out (PB, T, L)
     agg_ref,  # out (PB, Nr, 4L) f32, VMEM-resident per batch element
-    *,
+    *stream_refs,  # save_streams outputs: a1 (PB,T,L) cdt, a2 (PB,T,L)
+    #   cdt, mu (PB,T,1) f32, isg (PB,T,1) f32 — the activation streams
+    #   + LN stats the stream-backward kernel consumes instead of
+    #   rematerializing the forward chain (absent when save_streams=False)
     L: int,
     W: int,
     WR: int,
@@ -512,12 +515,20 @@ def _fwd_kernel(
     var = jnp.dot(
         xc * xc, ones_l, preferred_element_type=jnp.float32
     ) * (1.0 / L)
-    xhat = xc * jax.lax.rsqrt(var + 1e-5)
+    isg = jax.lax.rsqrt(var + 1e-5)
+    xhat = xc * isg
     o = xhat * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
         jnp.float32
     )
     e2 = e + o.astype(cdt)  # [PB*T, L]
     e2_ref[...] = e2.reshape(PB, Tc, L).astype(e2_ref.dtype)
+
+    if stream_refs:
+        a1s_ref, a2s_ref, mu_ref, isg_ref = stream_refs
+        a1s_ref[...] = a1.reshape(PB, Tc, L).astype(a1s_ref.dtype)
+        a2s_ref[...] = a2.reshape(PB, Tc, L).astype(a2s_ref.dtype)
+        mu_ref[...] = mu.reshape(PB, Tc, 1)
+        isg_ref[...] = isg.reshape(PB, Tc, 1)
 
     # --- pna aggregation of e2.  SUM and COUNT are exact one-hot matmuls
     # against the full segment membership (padded edges carry the WR
@@ -633,15 +644,17 @@ def _fwd_call(
     interpret: bool,
     finalize: bool = True,
     pb: int = 1,
-) -> Tuple[Array, Array]:
+    save_streams: bool = False,
+) -> Tuple[Array, ...]:
     B, E_pad, L = e_pad.shape
     pb = max(1, min(pb, B))
     if B % pb:
         e_pad, sp, rp = _pb_pad(e_pad, pb), _pb_pad(sp, pb), _pb_pad(rp, pb)
-        e2, agg = _fwd_call(
-            e_pad, sp, rp, weights, plan, interpret, finalize, pb
+        outs = _fwd_call(
+            e_pad, sp, rp, weights, plan, interpret, finalize, pb,
+            save_streams,
         )
-        return e2[:B], agg[:B]
+        return tuple(o[:B] for o in outs)
     Nr = sp.shape[1]
     T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
     SB = plan.SB
@@ -657,12 +670,19 @@ def _fwd_call(
         finalize=finalize,
     )
     row = lambda a: a.reshape(1, -1)
-    e2, agg = pl.pallas_call(
+    s_es = jax.ShapeDtypeStruct((B, E_pad, L), e_pad.dtype)
+    s_e1 = jax.ShapeDtypeStruct((B, E_pad, 1), jnp.float32)
+    es_spec = pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0))
+    e1_spec = pl.BlockSpec((pb, T, 1), lambda b, c: (b, c, 0))
+    stream_shapes = (s_es, s_es, s_e1, s_e1) if save_streams else ()
+    stream_specs = (es_spec, es_spec, e1_spec, e1_spec) if save_streams else ()
+    outs = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, E_pad, L), e_pad.dtype),
+            s_es,
             jax.ShapeDtypeStruct((B, Nr, 4 * L), jnp.float32),
-        ),
+        )
+        + stream_shapes,
         grid=(B // pb, C),
         in_specs=[
             pl.BlockSpec((SB, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
@@ -684,9 +704,10 @@ def _fwd_call(
             pl.BlockSpec((1, L), lambda b, c: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0)),
+            es_spec,
             pl.BlockSpec((pb, Nr, 4 * L), lambda b, c: (b, 0, 0)),
-        ),
+        )
+        + stream_specs,
         interpret=interpret,
     )(
         plan.w_s,
@@ -707,7 +728,7 @@ def _fwd_call(
         row(weights["lns"]),
         row(weights["lnb"]),
     )
-    return e2, agg
+    return outs
 
 
 def fused_edge_block(
@@ -720,6 +741,7 @@ def fused_edge_block(
     interpret: Optional[bool] = None,
     pb: int = 1,
     pb_bwd: Optional[int] = None,
+    bwd: str = "remat",
 ) -> Tuple[Array, Array]:
     """Fused edge update + pna aggregation.
 
@@ -734,6 +756,16 @@ def fused_edge_block(
     elements.  ``pb_bwd`` is the backward kernel's independent knob
     (default 1: the backward's per-element chains grow with pb, so
     amortizing it measures slower — ROADMAP 5c round-5).
+
+    ``bwd`` = 'remat' (default) or 'stream'.  remat: the backward re-runs
+    the forward chunk from (e, sp, rp) — no extra HBM traffic.  stream:
+    the under-grad forward saves its a1/a2 activation streams + LN stats
+    and the backward skips the remat chain (one z3 matmul left).
+    Measured (TPU v5e, 15 blocks, B=21 flag mesh): stream LOSES at
+    chunk 512/640 (64.8 vs 60.1 / 63.0 vs 59.2 ms — the kernels sit at
+    an HBM-bandwidth balance point, and the ~0.5 MB/grid-step of stream
+    traffic costs more than the ~9 matmuls it saves) and wins slightly
+    at chunk 256 (70.3 vs 71.4), the default-VMEM-limit chunk.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -748,6 +780,7 @@ def fused_edge_block(
         (
             max(1, min(pb, e3.shape[0])),
             max(1, min(1 if pb_bwd is None else pb_bwd, e3.shape[0])),
+            bwd == "stream",
         ),
     )
     e2 = e2[:, :E, :]
@@ -767,6 +800,7 @@ def fused_edge_block_batchable(
     interpret: Optional[bool] = None,
     pb: int = 1,
     pb_bwd: Optional[int] = None,
+    bwd: str = "remat",
 ) -> Tuple[Array, Array]:
     """:func:`fused_edge_block` that collapses an outer ``vmap`` into the
     kernel's batch grid dimension.
@@ -783,7 +817,7 @@ def fused_edge_block_batchable(
     def call(e, sp, rp, weights, plan):
         return fused_edge_block(
             e, sp, rp, weights, plan, num_nodes, interpret, pb,
-            pb_bwd=pb_bwd,
+            pb_bwd=pb_bwd, bwd=bwd,
         )
 
     @call.def_vmap
@@ -808,7 +842,7 @@ def fused_edge_block_batchable(
             )
         out = fused_edge_block(
             e, sp, rp, weights, plan, num_nodes, interpret, pb,
-            pb_bwd=pb_bwd,
+            pb_bwd=pb_bwd, bwd=bwd,
         )
         return out, (True, True)
 
@@ -820,19 +854,33 @@ def _fused_vjp(e_pad, sp, rp, weights, plan, interpret, pb):
     # ``plan`` is formally differentiable (it rides the Graph pytree, so
     # its arrays may be tracers under jit/scan); its cotangents are zeros
     # (float0 for the integer index arrays) — see _fused_bwd.
-    # ``pb`` is a static (pb_fwd, pb_bwd) pair: grid amortization pays off
-    # asymmetrically — the forward shares its one-hots, packed scan and
-    # selection matmul across the pb elements (measured −29% at pb=3),
-    # while the backward's per-element routing/RMW chains and f32
-    # residents grow with pb (measured slower past 1) — so the two
-    # kernels get independent knobs.
+    # ``pb`` is a static (pb_fwd, pb_bwd, stream_bwd) triple: grid
+    # amortization pays off asymmetrically — the forward shares its
+    # one-hots, packed scan and selection matmul across the pb elements
+    # (measured −29% at pb=3), while the backward's per-element
+    # routing/RMW chains and f32 residents grow with pb (measured slower
+    # past 1) — so the two kernels get independent knobs.  ``stream_bwd``
+    # selects the remat-free backward (and makes the under-grad forward
+    # write its activation streams); see fused_edge_block.
     e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb[0])
     return e2, agg
 
 
 def _fused_fwd(e_pad, sp, rp, weights, plan, interpret, pb):
+    if pb[2]:
+        # stream mode: the forward also writes its activation streams +
+        # LN stats (a1/a2/mu/isg) and the backward skips the forward
+        # rematerialization chain (ROADMAP 5c round-5: wins only where
+        # compute outweighs the extra stream DMA — chunk <= 256)
+        e2, agg, a1, a2, mu, isg = _fwd_call(
+            e_pad, sp, rp, weights, plan, interpret, pb=pb[0],
+            save_streams=True,
+        )
+        return (e2, agg), (
+            e_pad, sp, rp, (a1, a2, mu, isg), weights, agg, plan,
+        )
     e2, agg = _fwd_call(e_pad, sp, rp, weights, plan, interpret, pb=pb[0])
-    return (e2, agg), (e_pad, sp, rp, weights, agg, plan)
+    return (e2, agg), (e_pad, sp, rp, None, weights, agg, plan)
 
 
 # ---------------------------------------------------------------------------
@@ -1183,6 +1231,301 @@ def _bwd_call(
     return outs
 
 
+def _bwd_stream_kernel(
+    ws_ref,  # SMEM (SB, C) int32
+    rlo_ref,  # SMEM (1, C) int32
+    e_ref,  # (PB, T, L): forward edge features chunk
+    a1_ref,  # (PB, T, L) cdt: saved forward activation stream
+    a2_ref,  # (PB, T, L) cdt
+    mu_ref,  # (PB, T, 1) f32: saved LN row means
+    isg_ref,  # (PB, T, 1) f32: saved LN inverse sigmas
+    de2_ref,  # (PB, T, L): downstream cotangent of e2
+    drhs_ref,  # (PB, Nr, 5L) f32: [g_sum + g_mean/deg | mx | g_max | mn | g_min]
+    sndT_ref,  # (1, T, 1) int32
+    rcvT_ref,  # (1, T, 1) int32
+    mT_ref,  # (1, T, 1) f32
+    w3_ref,  # (L, L)
+    weT_ref,  # transposed weights (host-side)
+    w2T_ref,
+    w3T_ref,
+    b3_ref,  # (1, L)
+    lns_ref,  # (2, L): [lns; lnb]
+    de_ref,  # out (PB, T, L)
+    dh_ref,  # out (PB, T, L): stream for dWe (= e^T dh) and db1
+    dz2_ref,  # out (PB, T, L)
+    dz3_ref,  # out (PB, T, L)
+    dsp_ref,  # out (PB, Nr, L) f32, resident
+    drp_ref,  # out (PB, Nr, L) f32, resident
+    dpar_ref,  # out (PB, 8, L) f32, resident
+    *,
+    L: int,
+    W: int,
+    WR: int,
+    C: int,
+    cdt,
+    tie_tol: float,
+):
+    """Stream-consuming backward: no forward rematerialization.
+
+    The remat kernel (:func:`_bwd_kernel`) re-runs the whole forward
+    chunk (gathers + 3 MLP matmuls + LN stats ≈ 9 serialized MXU issues)
+    before any cotangent math.  With the forward's a1/a2 streams + LN
+    stats saved (cheap bf16/f32 HBM, DMA'd alongside the chunk and
+    hidden behind compute), the only recomputation left is ONE matmul
+    (z3 = a2 @ w3 + b3, needed for xhat and the tie compare), cutting the
+    per-grid-step serial chain roughly in half.  Bit-exactness: a1/a2
+    are the forward's own post-cast values, so z3/xhat/e2v reproduce the
+    forward bit-for-bit and the tie compare stays exact at tie_tol=0.
+    The relu masks use the identities a1>0 ⇔ h>0 and a2>0 ⇔ z2>0
+    (a = max(x, 0) is positive iff x is).
+    """
+    c = pl.program_id(1)
+    PB = e_ref.shape[0]
+    Tc = e_ref.shape[1]
+    f32 = jnp.float32
+
+    @pl.when(c == 0)
+    def _init():
+        dsp_ref[...] = jnp.zeros_like(dsp_ref)
+        drp_ref[...] = jnp.zeros_like(drp_ref)
+        dpar_ref[...] = jnp.zeros_like(dpar_ref)
+
+    SB = ws_ref.shape[0]
+    Ts = Tc // SB
+    ws_j = [pl.multiple_of(ws_ref[j, c], 16) for j in range(SB)]
+    rlo = pl.multiple_of(rlo_ref[0, c], 8)
+
+    snd_col = sndT_ref[0]
+    rcv_col = rcvT_ref[0]
+    m_col = mT_ref[0]
+
+    # --- reconstruct xhat / e2 from the saved streams (one matmul; must
+    # match _fwd_kernel bit-for-bit for the tie compare / remat-free path)
+    a1 = a1_ref[...].astype(cdt).reshape(PB * Tc, L)
+    a2 = a2_ref[...].astype(cdt).reshape(PB * Tc, L)
+    e = e_ref[...].astype(cdt).reshape(PB * Tc, L)
+    z3 = (
+        jnp.dot(
+            a2, w3_ref[...].astype(cdt), preferred_element_type=f32
+        ).astype(cdt)
+        + b3_ref[...].astype(cdt)
+    )
+    z32 = z3.astype(f32)
+    mu = mu_ref[...].reshape(PB * Tc, 1)
+    inv_sigma = isg_ref[...].reshape(PB * Tc, 1)
+    xhat = (z32 - mu) * inv_sigma
+    lns = lns_ref[0:1, :].astype(f32)  # lns_ref block is [2, L]: [lns; lnb]
+    lnb = lns_ref[1:2, :].astype(f32)
+    o = xhat * lns + lnb
+    e2v = (e + o.astype(cdt)).astype(f32)  # exact forward e2 (tie compare)
+
+    # --- one-hots (topology-derived; needed only for the selection
+    # matmuls below — the gathers themselves are gone)
+    oh_s = [
+        (
+            jax.lax.broadcasted_iota(jnp.int32, (Ts, W), 1)
+            == snd_col[j * Ts : (j + 1) * Ts]
+        ).astype(cdt)
+        for j in range(SB)
+    ]
+    oh_r = (
+        jax.lax.broadcasted_iota(jnp.int32, (Tc, WR), 1) == rcv_col
+    ).astype(cdt)
+
+    # --- aggregation cotangent routed back to this chunk's edges: one
+    # selection matmul carries all PB elements' windows (lane concat)
+    rhsw = jnp.concatenate(
+        [drhs_ref[i, pl.ds(rlo, WR), :] for i in range(PB)], axis=-1
+    ).astype(cdt)  # [WR, PB*5L]
+    got_all = jnp.dot(oh_r, rhsw, preferred_element_type=f32)  # [T, PB*5L]
+
+    routes = []
+    for i in range(PB):
+        got = got_all[:, i * 5 * L : (i + 1) * 5 * L]
+        e2v_i = e2v[i * Tc : (i + 1) * Tc]
+        mx = got[:, L : 2 * L]
+        mn = got[:, 3 * L : 4 * L]
+        route = got[:, :L]
+        route = route + jnp.where(
+            jnp.abs(e2v_i - mx) <= tie_tol * jnp.abs(mx) + tie_tol,
+            got[:, 2 * L : 3 * L],
+            0.0,
+        )
+        route = route + jnp.where(
+            jnp.abs(e2v_i - mn) <= tie_tol * jnp.abs(mn) + tie_tol,
+            got[:, 4 * L :],
+            0.0,
+        )
+        routes.append(route * m_col)
+    route_all = jnp.concatenate(routes, axis=0) if PB > 1 else routes[0]
+
+    de2_tot = (
+        de2_ref[...].astype(f32).reshape(PB * Tc, L) + route_all
+    )  # [PB*T, L] f32
+
+    # --- LayerNorm backward (f32; row means on the MXU)
+    ones_l = jnp.ones((L, 1), f32)
+    do = de2_tot
+    dxhat = do * lns
+    m1 = jnp.dot(dxhat, ones_l, preferred_element_type=f32) * (1.0 / L)
+    m2 = jnp.dot(
+        dxhat * xhat, ones_l, preferred_element_type=f32
+    ) * (1.0 / L)
+    dz3 = ((dxhat - m1 - xhat * m2) * inv_sigma).astype(cdt)
+
+    # --- MLP backward (transposed weights precomputed on host); relu
+    # masks from the saved streams (compare in f32: Mosaic on this
+    # target rejects bf16 comparisons)
+    da2 = jnp.dot(
+        dz3, w3T_ref[...].astype(cdt), preferred_element_type=f32
+    ).astype(cdt)
+    dz2 = jnp.where(a2.astype(f32) > 0, da2, 0)
+    da1 = jnp.dot(
+        dz2, w2T_ref[...].astype(cdt), preferred_element_type=f32
+    ).astype(cdt)
+    dh = jnp.where(a1.astype(f32) > 0, da1, 0)
+    de = (
+        de2_tot
+        + jnp.dot(
+            dh, weT_ref[...].astype(cdt), preferred_element_type=f32
+        )
+    ).astype(cdt)
+
+    de_ref[...] = de.reshape(PB, Tc, L).astype(de_ref.dtype)
+    dh_ref[...] = dh.reshape(PB, Tc, L).astype(dh_ref.dtype)
+    dz2_ref[...] = dz2.reshape(PB, Tc, L).astype(dz2_ref.dtype)
+    dz3_ref[...] = dz3.reshape(PB, Tc, L).astype(dz3_ref.dtype)
+
+    # --- node-part cotangents (same RMW contraction as _bwd_kernel)
+    selT = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    for i in range(PB):
+        dh_i = dh[i * Tc : (i + 1) * Tc]
+        drp_w = selT(oh_r, dh_i)  # [WR, L]
+        drp_ref[i, pl.ds(rlo, WR), :] = drp_ref[i, pl.ds(rlo, WR), :] + drp_w
+        for j in range(SB):
+            dsp_w = selT(oh_s[j], dh_i[j * Ts : (j + 1) * Ts])  # [W, L]
+            dsp_ref[i, pl.ds(ws_j[j], W), :] = (
+                dsp_ref[i, pl.ds(ws_j[j], W), :] + dsp_w
+            )
+
+    # --- bias / LN parameter gradients: one packed column-sum matmul
+    # (see _bwd_kernel)
+    ones = jnp.ones((1, PB * Tc), f32)
+    big = jnp.concatenate(
+        [dh.astype(f32), dz2.astype(f32), dz3.astype(f32), do * xhat, do],
+        axis=-1,
+    )  # [PB*T, 5L]
+    upd = jnp.dot(ones, big, preferred_element_type=f32)  # [1, 5L]
+    rows = jnp.concatenate(
+        [upd[:, r * L : (r + 1) * L] for r in range(5)]
+        + [jnp.zeros((3, L), f32)],
+        axis=0,
+    )  # [8, L]
+    dpar_ref[0] = dpar_ref[0] + rows
+
+
+def _bwd_stream_call(
+    e_pad: Array,
+    streams: Tuple[Array, Array, Array, Array],  # (a1, a2, mu, isg)
+    weights: dict,
+    de2_pad: Array,
+    drhs: Array,  # [B, Nr, 5L] f32
+    plan: BandPlan,
+    Nr: int,
+    interpret: bool,
+    tie_tol: float,
+    pb: int = 1,
+):
+    B, E_pad, L = e_pad.shape
+    pb = max(1, min(pb, B))
+    a1, a2, mu, isg = streams
+    if B % pb:
+        outs = _bwd_stream_call(
+            _pb_pad(e_pad, pb),
+            tuple(_pb_pad(s, pb) for s in streams),
+            weights, _pb_pad(de2_pad, pb), _pb_pad(drhs, pb), plan, Nr,
+            interpret, tie_tol, pb,
+        )
+        return tuple(o[:B] for o in outs)
+    T, C, W, WR = plan.T, plan.C, plan.W, plan.WR
+    SB = plan.SB
+    cdt = e_pad.dtype
+    kernel = functools.partial(
+        _bwd_stream_kernel, L=L, W=W, WR=WR, C=C, cdt=cdt, tie_tol=tie_tol
+    )
+    row = lambda a: a.reshape(1, -1)
+    ln2 = jnp.stack([weights["lns"], weights["lnb"]])  # [2, L]
+    tr = lambda w: jnp.swapaxes(w, -1, -2)
+    s_es = jax.ShapeDtypeStruct((B, E_pad, L), e_pad.dtype)
+    es_spec = pl.BlockSpec((pb, T, L), lambda b, c: (b, c, 0))
+    e1_spec = pl.BlockSpec((pb, T, 1), lambda b, c: (b, c, 0))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            s_es,  # de
+            s_es,  # dh
+            s_es,  # dz2
+            s_es,  # dz3
+            jax.ShapeDtypeStruct((B, Nr, L), jnp.float32),  # dsp
+            jax.ShapeDtypeStruct((B, Nr, L), jnp.float32),  # drp
+            jax.ShapeDtypeStruct((B, 8, L), jnp.float32),  # dpar
+        ),
+        grid=(B // pb, C),
+        in_specs=[
+            pl.BlockSpec((SB, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+            es_spec,
+            es_spec,
+            es_spec,
+            e1_spec,
+            e1_spec,
+            es_spec,
+            pl.BlockSpec((pb, Nr, 5 * L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((L, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((1, L), lambda b, c: (0, 0)),
+            pl.BlockSpec((2, L), lambda b, c: (0, 0)),
+        ],
+        out_specs=(
+            es_spec,
+            es_spec,
+            es_spec,
+            es_spec,
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, Nr, L), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((pb, 8, L), lambda b, c: (b, 0, 0)),
+        ),
+        interpret=interpret,
+    )(
+        plan.w_s,
+        plan.r_lo,
+        e_pad,
+        a1,
+        a2,
+        mu,
+        isg,
+        de2_pad,
+        drhs,
+        plan.snd_col,
+        plan.rcv_col,
+        plan.m_col,
+        weights["w3"],
+        tr(weights["we"]),
+        tr(weights["w2"]),
+        tr(weights["w3"]),
+        row(weights["b3"]),
+        ln2,
+    )
+    return outs
+
+
 def _plan_degrees(plan: BandPlan, Nr: int) -> Array:
     """Per-node valid in-degree from the static plan (f32, [Nr])."""
     C, T = plan.C, plan.T
@@ -1204,13 +1547,17 @@ def _zero_plan_cotangent(plan: BandPlan) -> BandPlan:
 
 def _bwd_core(
     e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret,
-    tie_tol=0.0, pb: int = 1,
+    tie_tol=0.0, pb: int = 1, streams=None,
 ):
-    """Shared backward: remat Pallas kernel + dense weight-grad matmuls.
+    """Shared backward: Pallas kernel + dense weight-grad matmuls.
 
     All inputs padded to the plan's edge/node row counts ([B, E_pad, L] /
     [B, Nr, ...]); ``agg`` is the *finalized* padded aggregate.  Returns
-    (de, dsp, drp, dweights) at padded shapes.
+    (de, dsp, drp, dweights) at padded shapes.  With ``streams`` (the
+    forward-saved (a1, a2, mu, isg)) the remat-free stream kernel runs
+    instead of the forward-rematerializing one; callers whose forward
+    did not run the Pallas kernel (hybrid XLA forward, spmd shards)
+    pass None and keep the remat path.
     """
     B, E_pad, L = e_pad.shape
     Nr = sp.shape[1]
@@ -1230,10 +1577,17 @@ def _bwd_core(
         ],
         axis=-1,
     )
-    de, dh, dz2, dz3, a1, a2, dsp, drp, dpar = _bwd_call(
-        e_pad, sp, rp, weights, de2_bar.astype(e_pad.dtype), drhs, plan,
-        interpret, tie_tol, pb,
-    )
+    if streams is not None:
+        a1, a2 = streams[0], streams[1]
+        de, dh, dz2, dz3, dsp, drp, dpar = _bwd_stream_call(
+            e_pad, streams, weights, de2_bar.astype(e_pad.dtype), drhs,
+            plan, Nr, interpret, tie_tol, pb,
+        )
+    else:
+        de, dh, dz2, dz3, a1, a2, dsp, drp, dpar = _bwd_call(
+            e_pad, sp, rp, weights, de2_bar.astype(e_pad.dtype), drhs, plan,
+            interpret, tie_tol, pb,
+        )
     f32 = jnp.float32
     dweights = {
         "we": jnp.einsum(
@@ -1258,11 +1612,11 @@ def _bwd_core(
 def _fused_bwd(interpret, pb, res, g):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    e_pad, sp, rp, weights, agg, plan = res
+    e_pad, sp, rp, streams, weights, agg, plan = res
     de2_bar, dagg_bar = g
     de, dsp, drp, dweights = _bwd_core(
         e_pad, sp, rp, weights, agg, plan, de2_bar, dagg_bar, interpret,
-        pb=pb[1],
+        pb=pb[1], streams=streams,
     )
     return (de, dsp, drp, dweights, _zero_plan_cotangent(plan))
 

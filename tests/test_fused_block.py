@@ -140,6 +140,36 @@ def test_gradient_parity():
         )
 
 
+def test_stream_backward_matches_remat():
+    """fused_bwd='stream' (remat-free backward fed by forward-saved
+    a1/a2/mu/isg streams) must match the default remat backward: the
+    streams are the forward's own post-cast values, so the stream
+    kernel's z3/xhat/e2v reconstruction reproduces the forward exactly —
+    de/dh/dz2/dz3/dsp/drp are bit-identical (verified elementwise when
+    this test was written); only the bias/LN column-sum reductions may
+    drift by reassociation ulps across the two separately compiled
+    programs, hence the near-zero tolerance rather than array_equal."""
+    N, E_valid, E, L = 64, 220, 256, 8
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(11, N, E_valid, E, L)
+    rng = np.random.default_rng(13)
+    ge2 = jnp.asarray(
+        rng.normal(size=(E, L)).astype(np.float32)
+    ) * mask[:, None]
+    gagg = jnp.asarray(rng.normal(size=(N, 4 * L)).astype(np.float32))
+
+    def loss(e, sp, rp, wk, bwd):
+        e2, agg = fused_edge_block(e, sp, rp, wk, plan, N, bwd=bwd)
+        return jnp.vdot(e2 * mask[:, None], ge2) + jnp.vdot(agg, gagg)
+
+    gr = jax.grad(loss, argnums=(0, 1, 2, 3))(e, sp, rp, wk, "remat")
+    gs = jax.grad(loss, argnums=(0, 1, 2, 3))(e, sp, rp, wk, "stream")
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gs)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6 * max(
+            1.0, float(np.abs(a).max())
+        ))
+
+
 class TestHybridParity:
     """fused_edge_block_hybrid (XLA forward + Pallas backward) matches the
     oracle in both passes."""
