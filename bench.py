@@ -286,6 +286,10 @@ def _hgn_plate_throughput() -> dict:
             # count, pow2): the shipped plateCluster.yaml semantics
             "max_world_edges": "auto",
             "agg_vjp": "fused",  # fused Pallas kernel on the mesh edge set
+            # forward grid amortization: 34.3 -> 33.3 ms measured (the
+            # packed scan shares the per-chunk work across the 2 batch
+            # elements; grads bit-identical — ROADMAP 5c round-5)
+            "fused_pb": 2,
             "rmp": {
                 "clustering": "spectral",
                 "connector": "hyper",
