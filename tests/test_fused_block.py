@@ -170,6 +170,35 @@ def test_stream_backward_matches_remat():
         ))
 
 
+def test_stream_backward_batched_pb_pad():
+    """Stream mode through the batched path with pb that does NOT divide
+    the batch (B=3, pb=2, pb_bwd=2): exercises the _pb_pad recursion of
+    both the stream-saving forward and _bwd_stream_call."""
+    N, E_valid, E, L = 60, 230, 256, 8
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(
+        17, N, E_valid, E, L, B=3
+    )
+    rng = np.random.default_rng(19)
+    ge2 = jnp.asarray(
+        rng.normal(size=(3, E, L)).astype(np.float32)
+    ) * mask[None, :, None]
+    gagg = jnp.asarray(rng.normal(size=(3, N, 4 * L)).astype(np.float32))
+
+    def loss(e, sp, rp, wk, bwd, pb, pb_bwd):
+        e2, agg = fused_edge_block(
+            e, sp, rp, wk, plan, N, pb=pb, pb_bwd=pb_bwd, bwd=bwd
+        )
+        return jnp.vdot(e2 * mask[None, :, None], ge2) + jnp.vdot(agg, gagg)
+
+    gr = jax.grad(loss, argnums=(0, 1, 2, 3))(e, sp, rp, wk, "remat", 1, 1)
+    gs = jax.grad(loss, argnums=(0, 1, 2, 3))(e, sp, rp, wk, "stream", 2, 2)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gs)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6 * max(
+            1.0, float(np.abs(a).max())
+        ))
+
+
 class TestHybridParity:
     """fused_edge_block_hybrid (XLA forward + Pallas backward) matches the
     oracle in both passes."""
