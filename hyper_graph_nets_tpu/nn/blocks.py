@@ -353,6 +353,21 @@ def _fused_update_and_agg(
         "lns": eparams["ln"]["scale"],
         "lnb": eparams["ln"]["bias"],
     }
+    if (
+        cfg.fused_bwd != "remat" or cfg.fused_pb > 1 or cfg.fused_pb_bwd > 1
+    ) and (
+        cfg.spmd_mesh is not None
+        or cfg.axis_name is not None
+        or cfg.fused_fwd == "xla"
+    ):
+        import warnings
+
+        warnings.warn(
+            "fused_bwd/fused_pb/fused_pb_bwd apply only to the "
+            "single-device full-kernel path; the spmd/collective/hybrid "
+            "branch selected here ignores them (remat backward, pb=1).",
+            stacklevel=2,
+        )
     if cfg.spmd_mesh is not None:
         # GSPMD train step: trainable shard_map region with custom VJP
         # (both Pallas kernels run per edge shard; collectives carry the

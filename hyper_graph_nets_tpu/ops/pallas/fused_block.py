@@ -422,6 +422,11 @@ def _fwd_kernel(
     cdt,
     finalize: bool = True,
 ):
+    assert len(stream_refs) in (0, 4), (
+        "out_shape/kernel-signature drift: expected exactly the 4 "
+        "save_streams refs (a1, a2, mu, isg) after agg_ref, got "
+        f"{len(stream_refs)} extras"
+    )
     c = pl.program_id(1)
     PB = e_ref.shape[0]  # batch elements per grid step (grid amortization)
     Tc = e_ref.shape[1]
@@ -767,6 +772,10 @@ def fused_edge_block(
     traffic costs more than the ~9 matmuls it saves) and wins slightly
     at chunk 256 (70.3 vs 71.4), the default-VMEM-limit chunk.
     """
+    if bwd not in ("remat", "stream"):
+        raise ValueError(
+            f"fused_bwd must be 'remat' or 'stream', got {bwd!r}"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     squeeze = e.ndim == 2
@@ -886,6 +895,114 @@ def _fused_fwd(e_pad, sp, rp, weights, plan, interpret, pb):
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
+
+
+def _route_agg_cotangent(got_all, e2v, m_col, PB, Tc, L, tie_tol):
+    """max/min winner routing shared by the remat and stream backward
+    kernels: adds the max/min cotangents to the sum/mean cotangent on
+    edges whose e2 matches the saved extrema within ``tie_tol`` (see
+    _bwd_kernel for the tie_tol semantics)."""
+    routes = []
+    for i in range(PB):
+        got = got_all[:, i * 5 * L : (i + 1) * 5 * L]
+        e2v_i = e2v[i * Tc : (i + 1) * Tc]
+        mx = got[:, L : 2 * L]
+        mn = got[:, 3 * L : 4 * L]
+        route = got[:, :L]
+        route = route + jnp.where(
+            jnp.abs(e2v_i - mx) <= tie_tol * jnp.abs(mx) + tie_tol,
+            got[:, 2 * L : 3 * L],
+            0.0,
+        )
+        route = route + jnp.where(
+            jnp.abs(e2v_i - mn) <= tie_tol * jnp.abs(mn) + tie_tol,
+            got[:, 4 * L :],
+            0.0,
+        )
+        routes.append(route * m_col)
+    return jnp.concatenate(routes, axis=0) if PB > 1 else routes[0]
+
+
+def _ln_mlp_backward(
+    de2_tot, xhat, inv_sigma, lns, relu1_src, relu2_src, weT, w2T, w3T, cdt,
+):
+    """LayerNorm + MLP backward shared by both backward kernels.
+
+    ``relu1_src``/``relu2_src`` define the relu subgradient masks via
+    ``> 0``: the remat kernel passes the recomputed pre-activations
+    (h, z2), the stream kernel the saved activations (a1, a2) — identical
+    masks since a = max(x, 0) is positive iff x is.  Returns
+    (dh, dz2, dz3, de_mlp_part, do) with de_mlp_part = dh @ weT.
+    """
+    f32 = jnp.float32
+    L = xhat.shape[-1]
+    ones_l = jnp.ones((L, 1), f32)
+    do = de2_tot
+    dxhat = do * lns
+    m1 = jnp.dot(dxhat, ones_l, preferred_element_type=f32) * (1.0 / L)
+    m2 = jnp.dot(
+        dxhat * xhat, ones_l, preferred_element_type=f32
+    ) * (1.0 / L)
+    dz3 = ((dxhat - m1 - xhat * m2) * inv_sigma).astype(cdt)
+    # compare in f32: Mosaic on this target rejects bf16 comparisons
+    da2 = jnp.dot(
+        dz3, w3T.astype(cdt), preferred_element_type=f32
+    ).astype(cdt)
+    dz2 = jnp.where(relu2_src.astype(f32) > 0, da2, 0)
+    da1 = jnp.dot(
+        dz2, w2T.astype(cdt), preferred_element_type=f32
+    ).astype(cdt)
+    dh = jnp.where(relu1_src.astype(f32) > 0, da1, 0)
+    de_mlp = jnp.dot(dh, weT.astype(cdt), preferred_element_type=f32)
+    return dh, dz2, dz3, de_mlp, do
+
+
+def _accumulate_node_cotangents(
+    dsp_ref, drp_ref, dh, oh_s, oh_r, ws_j, rlo, PB, Tc, Ts, W, WR, L,
+):
+    """Node-part cotangent RMW shared by both backward kernels: the
+    "transposed one-hot scatter" contracts the FORWARD one-hots over
+    their edge dim (dot_general lhs-transposed dims) — no transposed
+    one-hot is materialized on the VPU.  RMW is race-free on the
+    sequential TPU grid; subwindows are serialized within the
+    invocation, so overlapping sender windows accumulate correctly."""
+    f32 = jnp.float32
+    SB = len(oh_s)
+    selT = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    for i in range(PB):
+        dh_i = dh[i * Tc : (i + 1) * Tc]
+        drp_w = selT(oh_r, dh_i)  # [WR, L]
+        drp_ref[i, pl.ds(rlo, WR), :] = drp_ref[i, pl.ds(rlo, WR), :] + drp_w
+        for j in range(SB):
+            dsp_w = selT(oh_s[j], dh_i[j * Ts : (j + 1) * Ts])  # [W, L]
+            dsp_ref[i, pl.ds(ws_j[j], W), :] = (
+                dsp_ref[i, pl.ds(ws_j[j], W), :] + dsp_w
+            )
+
+
+def _accumulate_dpar(dpar_ref, dh, dz2, dz3, do, xhat, PB, Tc, L):
+    """Bias / LN parameter gradients (rows 0..4 of dpar), shared by both
+    backward kernels; summed over the PB elements into row-block 0 (the
+    caller sums over the batch anyway).  ONE ones-vector column-sum
+    matmul over the lane-concat of the five gradient streams instead of
+    five serial MXU issues (ROADMAP 5c); each output column sums only
+    its own lane column, so the sliced rows are bit-identical to the
+    separate matmuls."""
+    f32 = jnp.float32
+    ones = jnp.ones((1, PB * Tc), f32)
+    big = jnp.concatenate(
+        [dh.astype(f32), dz2.astype(f32), dz3.astype(f32), do * xhat, do],
+        axis=-1,
+    )  # [PB*T, 5L]
+    upd = jnp.dot(ones, big, preferred_element_type=f32)  # [1, 5L]
+    rows = jnp.concatenate(
+        [upd[:, r * L : (r + 1) * L] for r in range(5)]
+        + [jnp.zeros((3, L), f32)],
+        axis=0,
+    )  # [8, L]
+    dpar_ref[0] = dpar_ref[0] + rows
 
 
 def _bwd_kernel(
@@ -1026,55 +1143,21 @@ def _bwd_kernel(
     # hybrid XLA-forward path whose e2 differs from this recomputation in
     # the last ulps (f32: reassociation error ~1e-6 relative; bf16: up to
     # one ulp = 2^-8 relative when rounding boundaries straddle).
-    routes = []
-    for i in range(PB):
-        got = got_all[:, i * 5 * L : (i + 1) * 5 * L]
-        e2v_i = e2v[i * Tc : (i + 1) * Tc]
-        mx = got[:, L : 2 * L]
-        mn = got[:, 3 * L : 4 * L]
-        route = got[:, :L]
-        route = route + jnp.where(
-            jnp.abs(e2v_i - mx) <= tie_tol * jnp.abs(mx) + tie_tol,
-            got[:, 2 * L : 3 * L],
-            0.0,
-        )
-        route = route + jnp.where(
-            jnp.abs(e2v_i - mn) <= tie_tol * jnp.abs(mn) + tie_tol,
-            got[:, 4 * L :],
-            0.0,
-        )
-        routes.append(route * m_col)
-    route_all = jnp.concatenate(routes, axis=0) if PB > 1 else routes[0]
+    route_all = _route_agg_cotangent(
+        got_all, e2v, m_col, PB, Tc, L, tie_tol
+    )
 
     de2_tot = (
         de2_ref[...].astype(f32).reshape(PB * Tc, L) + route_all
     )  # [PB*T, L] f32
 
-    # --- LayerNorm backward (f32; row means on the MXU as above)
-    do = de2_tot
-    dxhat = do * lns
-    m1 = jnp.dot(dxhat, ones_l, preferred_element_type=f32) * (1.0 / L)
-    m2 = jnp.dot(
-        dxhat * xhat, ones_l, preferred_element_type=f32
-    ) * (1.0 / L)
-    dz3 = ((dxhat - m1 - xhat * m2) * inv_sigma).astype(cdt)
-
-    # --- MLP backward (transposed weights precomputed on host)
-    da2 = jnp.dot(
-        dz3, w3T_ref[...].astype(cdt), preferred_element_type=f32
-    ).astype(cdt)
-    # compare in f32: Mosaic on this target rejects bf16 comparisons
-    dz2 = jnp.where(z2.astype(f32) > 0, da2, 0)
-    da1 = jnp.dot(
-        dz2, w2T_ref[...].astype(cdt), preferred_element_type=f32
-    ).astype(cdt)
-    dh = jnp.where(h.astype(f32) > 0, da1, 0)
-    de = (
-        de2_tot
-        + jnp.dot(
-            dh, weT_ref[...].astype(cdt), preferred_element_type=f32
-        )
-    ).astype(cdt)
+    # --- LayerNorm + MLP backward (f32; row means on the MXU as above);
+    # relu masks from the recomputed pre-activations (h, z2)
+    dh, dz2, dz3, de_mlp, do = _ln_mlp_backward(
+        de2_tot, xhat, inv_sigma, lns, h, z2,
+        weT_ref[...], w2T_ref[...], w3T_ref[...], cdt,
+    )
+    de = (de2_tot + de_mlp).astype(cdt)
 
     de_ref[...] = de.reshape(PB, Tc, L).astype(de_ref.dtype)
     dh_ref[...] = dh.reshape(PB, Tc, L).astype(dh_ref.dtype)
@@ -1083,43 +1166,10 @@ def _bwd_kernel(
     a1_ref[...] = a1.reshape(PB, Tc, L).astype(a1_ref.dtype)
     a2_ref[...] = a2.reshape(PB, Tc, L).astype(a2_ref.dtype)
 
-    # --- node-part cotangents: the "transposed one-hot scatter" contracts
-    # the FORWARD one-hots over their edge dim (dot_general lhs-transposed
-    # dims) — no transposed one-hot is materialized on the VPU.  RMW is
-    # race-free on the sequential TPU grid; subwindows are serialized
-    # within the invocation, so overlapping sender windows accumulate
-    # correctly.
-    selT = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    _accumulate_node_cotangents(
+        dsp_ref, drp_ref, dh, oh_s, oh_r, ws_j, rlo, PB, Tc, Ts, W, WR, L,
     )
-    for i in range(PB):
-        dh_i = dh[i * Tc : (i + 1) * Tc]
-        drp_w = selT(oh_r, dh_i)  # [WR, L]
-        drp_ref[i, pl.ds(rlo, WR), :] = drp_ref[i, pl.ds(rlo, WR), :] + drp_w
-        for j in range(SB):
-            dsp_w = selT(oh_s[j], dh_i[j * Ts : (j + 1) * Ts])  # [W, L]
-            dsp_ref[i, pl.ds(ws_j[j], W), :] = (
-                dsp_ref[i, pl.ds(ws_j[j], W), :] + dsp_w
-            )
-
-    # --- bias / LN parameter gradients (row 0..4 of dpar); summed over the
-    # PB elements into row-block 0 (the caller sums over the batch anyway).
-    # ONE ones-vector column-sum matmul over the lane-concat of the five
-    # gradient streams instead of five serial MXU issues (ROADMAP 5c);
-    # each output column sums only its own lane column, so the sliced rows
-    # are bit-identical to the separate matmuls.
-    ones = jnp.ones((1, PB * Tc), f32)
-    big = jnp.concatenate(
-        [dh.astype(f32), dz2.astype(f32), dz3.astype(f32), do * xhat, do],
-        axis=-1,
-    )  # [PB*T, 5L]
-    upd = jnp.dot(ones, big, preferred_element_type=f32)  # [1, 5L]
-    rows = jnp.concatenate(
-        [upd[:, r * L : (r + 1) * L] for r in range(5)]
-        + [jnp.zeros((3, L), f32)],
-        axis=0,
-    )  # [8, L]
-    dpar_ref[0] = dpar_ref[0] + rows
+    _accumulate_dpar(dpar_ref, dh, dz2, dz3, do, xhat, PB, Tc, L)
 
 
 def _bwd_call(
@@ -1339,91 +1389,31 @@ def _bwd_stream_kernel(
     ).astype(cdt)  # [WR, PB*5L]
     got_all = jnp.dot(oh_r, rhsw, preferred_element_type=f32)  # [T, PB*5L]
 
-    routes = []
-    for i in range(PB):
-        got = got_all[:, i * 5 * L : (i + 1) * 5 * L]
-        e2v_i = e2v[i * Tc : (i + 1) * Tc]
-        mx = got[:, L : 2 * L]
-        mn = got[:, 3 * L : 4 * L]
-        route = got[:, :L]
-        route = route + jnp.where(
-            jnp.abs(e2v_i - mx) <= tie_tol * jnp.abs(mx) + tie_tol,
-            got[:, 2 * L : 3 * L],
-            0.0,
-        )
-        route = route + jnp.where(
-            jnp.abs(e2v_i - mn) <= tie_tol * jnp.abs(mn) + tie_tol,
-            got[:, 4 * L :],
-            0.0,
-        )
-        routes.append(route * m_col)
-    route_all = jnp.concatenate(routes, axis=0) if PB > 1 else routes[0]
+    route_all = _route_agg_cotangent(
+        got_all, e2v, m_col, PB, Tc, L, tie_tol
+    )
 
     de2_tot = (
         de2_ref[...].astype(f32).reshape(PB * Tc, L) + route_all
     )  # [PB*T, L] f32
 
-    # --- LayerNorm backward (f32; row means on the MXU)
-    ones_l = jnp.ones((L, 1), f32)
-    do = de2_tot
-    dxhat = do * lns
-    m1 = jnp.dot(dxhat, ones_l, preferred_element_type=f32) * (1.0 / L)
-    m2 = jnp.dot(
-        dxhat * xhat, ones_l, preferred_element_type=f32
-    ) * (1.0 / L)
-    dz3 = ((dxhat - m1 - xhat * m2) * inv_sigma).astype(cdt)
-
-    # --- MLP backward (transposed weights precomputed on host); relu
-    # masks from the saved streams (compare in f32: Mosaic on this
-    # target rejects bf16 comparisons)
-    da2 = jnp.dot(
-        dz3, w3T_ref[...].astype(cdt), preferred_element_type=f32
-    ).astype(cdt)
-    dz2 = jnp.where(a2.astype(f32) > 0, da2, 0)
-    da1 = jnp.dot(
-        dz2, w2T_ref[...].astype(cdt), preferred_element_type=f32
-    ).astype(cdt)
-    dh = jnp.where(a1.astype(f32) > 0, da1, 0)
-    de = (
-        de2_tot
-        + jnp.dot(
-            dh, weT_ref[...].astype(cdt), preferred_element_type=f32
-        )
-    ).astype(cdt)
+    # --- LayerNorm + MLP backward; relu masks from the saved streams
+    # (a1 > 0 ⇔ h > 0, a2 > 0 ⇔ z2 > 0)
+    dh, dz2, dz3, de_mlp, do = _ln_mlp_backward(
+        de2_tot, xhat, inv_sigma, lns, a1, a2,
+        weT_ref[...], w2T_ref[...], w3T_ref[...], cdt,
+    )
+    de = (de2_tot + de_mlp).astype(cdt)
 
     de_ref[...] = de.reshape(PB, Tc, L).astype(de_ref.dtype)
     dh_ref[...] = dh.reshape(PB, Tc, L).astype(dh_ref.dtype)
     dz2_ref[...] = dz2.reshape(PB, Tc, L).astype(dz2_ref.dtype)
     dz3_ref[...] = dz3.reshape(PB, Tc, L).astype(dz3_ref.dtype)
 
-    # --- node-part cotangents (same RMW contraction as _bwd_kernel)
-    selT = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    _accumulate_node_cotangents(
+        dsp_ref, drp_ref, dh, oh_s, oh_r, ws_j, rlo, PB, Tc, Ts, W, WR, L,
     )
-    for i in range(PB):
-        dh_i = dh[i * Tc : (i + 1) * Tc]
-        drp_w = selT(oh_r, dh_i)  # [WR, L]
-        drp_ref[i, pl.ds(rlo, WR), :] = drp_ref[i, pl.ds(rlo, WR), :] + drp_w
-        for j in range(SB):
-            dsp_w = selT(oh_s[j], dh_i[j * Ts : (j + 1) * Ts])  # [W, L]
-            dsp_ref[i, pl.ds(ws_j[j], W), :] = (
-                dsp_ref[i, pl.ds(ws_j[j], W), :] + dsp_w
-            )
-
-    # --- bias / LN parameter gradients: one packed column-sum matmul
-    # (see _bwd_kernel)
-    ones = jnp.ones((1, PB * Tc), f32)
-    big = jnp.concatenate(
-        [dh.astype(f32), dz2.astype(f32), dz3.astype(f32), do * xhat, do],
-        axis=-1,
-    )  # [PB*T, 5L]
-    upd = jnp.dot(ones, big, preferred_element_type=f32)  # [1, 5L]
-    rows = jnp.concatenate(
-        [upd[:, r * L : (r + 1) * L] for r in range(5)]
-        + [jnp.zeros((3, L), f32)],
-        axis=0,
-    )  # [8, L]
-    dpar_ref[0] = dpar_ref[0] + rows
+    _accumulate_dpar(dpar_ref, dh, dz2, dz3, do, xhat, PB, Tc, L)
 
 
 def _bwd_stream_call(

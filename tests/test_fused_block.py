@@ -140,7 +140,8 @@ def test_gradient_parity():
         )
 
 
-def test_stream_backward_matches_remat():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_stream_backward_matches_remat(dtype):
     """fused_bwd='stream' (remat-free backward fed by forward-saved
     a1/a2/mu/isg streams) must match the default remat backward: the
     streams are the forward's own post-cast values, so the stream
@@ -148,9 +149,13 @@ def test_stream_backward_matches_remat():
     de/dh/dz2/dz3/dsp/drp are bit-identical (verified elementwise when
     this test was written); only the bias/LN column-sum reductions may
     drift by reassociation ulps across the two separately compiled
-    programs, hence the near-zero tolerance rather than array_equal."""
+    programs, hence the near-zero tolerance rather than array_equal.
+    Parametrized over bf16, the production compute dtype, where the
+    bit-exactness argument (a1>0 iff h>0 post-cast, saved-cdt streams
+    reproducing the tie compare at tie_tol=0) actually bites."""
     N, E_valid, E, L = 64, 220, 256, 8
     e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(11, N, E_valid, E, L)
+    e, sp, rp = e.astype(dtype), sp.astype(dtype), rp.astype(dtype)
     rng = np.random.default_rng(13)
     ge2 = jnp.asarray(
         rng.normal(size=(E, L)).astype(np.float32)
@@ -159,7 +164,9 @@ def test_stream_backward_matches_remat():
 
     def loss(e, sp, rp, wk, bwd):
         e2, agg = fused_edge_block(e, sp, rp, wk, plan, N, bwd=bwd)
-        return jnp.vdot(e2 * mask[:, None], ge2) + jnp.vdot(agg, gagg)
+        return jnp.vdot(
+            e2.astype(jnp.float32) * mask[:, None], ge2
+        ) + jnp.vdot(agg, gagg)
 
     gr = jax.grad(loss, argnums=(0, 1, 2, 3))(e, sp, rp, wk, "remat")
     gs = jax.grad(loss, argnums=(0, 1, 2, 3))(e, sp, rp, wk, "stream")
