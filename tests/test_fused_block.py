@@ -177,6 +177,14 @@ def test_stream_backward_matches_remat(dtype):
         ))
 
 
+def test_invalid_bwd_mode_raises():
+    """A typo'd fused_bwd must raise, not silently select remat."""
+    N, E_valid, E, L = 64, 220, 256, 8
+    e, sp, rp, wk, snd, rcv, mask, plan = _banded_case(11, N, E_valid, E, L)
+    with pytest.raises(ValueError, match="remat.*stream"):
+        fused_edge_block(e, sp, rp, wk, plan, N, bwd="Stream")
+
+
 def test_stream_backward_batched_pb_pad():
     """Stream mode through the batched path with pb that does NOT divide
     the batch (B=3, pb=2, pb_bwd=2): exercises the _pb_pad recursion of
@@ -390,6 +398,43 @@ class TestFusedTrainStepParity:
         frames = {k: jnp.asarray(v[:4]) for k, v in traj.items() if k != "cells"}
         ts, loss = step(ts, frames, jax.random.PRNGKey(1))
         return float(loss), ts
+
+    def test_ignored_knobs_warn_on_hybrid_branch(self):
+        """fused_bwd='stream' combined with fused_fwd='xla' selects the
+        hybrid branch, which ignores the backward knob — a warning must
+        surface it (nn/blocks.py dispatch)."""
+        from hyper_graph_nets_tpu.data import synthetic
+        from hyper_graph_nets_tpu.data.preprocessing import add_targets
+        from hyper_graph_nets_tpu.models.flag import FlagModel
+        from hyper_graph_nets_tpu.training.trainer import Trainer
+
+        params = {
+            "task": {"dataset": "flag_minimal"},
+            "model": {
+                "field": "world_pos", "history": True, "size": 3,
+                "noise": 0.003, "gamma": 0.9, "aggregation": "pna",
+                "learning_rate": 1e-3, "message_passing_steps": 1,
+                "agg_vjp": "fused", "fused_fwd": "xla",
+                "fused_bwd": "stream",
+                "rmp": {"clustering": "none", "connector": "none"},
+                "graph_balancer": {"algorithm": "none"},
+            },
+        }
+        traj = add_targets(
+            synthetic.flag_trajectory(num_steps=10, nx=6, ny=6),
+            "world_pos", True,
+        )
+        model = FlagModel(params)
+        topo = model.topology_from_trajectory(traj)
+        trainer = Trainer(model, params)
+        ts = trainer.init_train_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(topo)
+        frames = {
+            k: jnp.asarray(v[:2]) for k, v in traj.items() if k != "cells"
+        }
+        with pytest.warns(UserWarning, match="ignore"):
+            ts, loss = step(ts, frames, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
 
     def test_loss_and_params_match(self):
         l1, t1 = self._run("xla")
